@@ -1,0 +1,14 @@
+"""Test harness config: force CPU JAX with 8 virtual devices so sharding /
+data-parallel logic is testable without TPU hardware (the TPU-world analogue
+of a fake backend — see SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,297 @@
+"""The two VPT model graphs: the agent policy and the inverse-dynamics model.
+
+Reference: lib/policy.py.  Functional flax modules; the recurrent hidden state
+(per-block KV caches + state masks) is an explicit argument/return pytree, so
+a jitted step/train function carries it with no module-side mutation.
+
+Flow (policy, reference policy.py:193-218):
+    uint8 frames → ImgPreprocessing (/255) → ImpalaCNN → linear → hidsize
+    → [pre_lstm_ln] → 4× ResidualRecurrentBlock (clipped-causal attention)
+    → ReLU → lastlayer (LN→linear→ReLU) → final LayerNorm
+    → {pi_head (Dict of categoricals), value_head (ScaledMSE)}
+
+Flow (IDM, reference policy.py:374-392): adds a Conv3D front end before the
+Impala stack, uses unmasked (bidirectional) attention, has no value head, and
+— quirk preserved bit-for-bit — computes ``lastlayer(x)`` only to discard it,
+applying ``final_ln`` to the pre-lastlayer activations (policy.py:390-391).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vpt_tpu.config import PolicyConfig
+from vpt_tpu.models.heads import (
+    DictActionHead,
+    HeadSpec,
+    ScaledMSEHead,
+    head_specs_from_space,
+)
+from vpt_tpu.models.impala import ImpalaCNN
+from vpt_tpu.models.layers import FanInInitLayer, LayerNorm
+from vpt_tpu.models.transformer import ResidualRecurrentBlocks
+
+
+def _compute_dtype(cfg: PolicyConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+class ImgPreprocessing(nn.Module):
+    """uint8 → float32, scaled by 1/255 or normalized by dataset statistics
+    (reference: policy.py:21-45)."""
+
+    scale_img: bool = True
+    use_img_statistics: bool = False
+
+    def setup(self):
+        if self.use_img_statistics:
+            self.img_mean = self.variable("stats", "img_mean", jnp.zeros, (), jnp.float32)
+            self.img_std = self.variable("stats", "img_std", jnp.ones, (), jnp.float32)
+
+    def __call__(self, img):
+        x = img.astype(jnp.float32)
+        if self.use_img_statistics:
+            x = (x - self.img_mean.value) / self.img_std.value
+        else:
+            x = x / (255.0 if self.scale_img else 1.0)
+        return x
+
+
+class ImgObsProcess(nn.Module):
+    """ImpalaCNN followed by a linear projection to hidsize
+    (reference: policy.py:48-80)."""
+
+    cfg: PolicyConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        dtype = _compute_dtype(cfg)
+        x = ImpalaCNN(
+            chans=cfg.chans,
+            outsize=cfg.obs_processing_width,
+            nblock=cfg.impala_nblock,
+            post_pool_groups=cfg.impala_post_pool_groups,
+            batch_norm=cfg.batch_norm,
+            group_norm_groups=cfg.group_norm_groups,
+            first_conv_norm=cfg.first_conv_norm,
+            dense_layer_norm=cfg.dense_use_layer_norm,
+            dtype=dtype,
+            name="cnn",
+        )(x)
+        x = FanInInitLayer(
+            outchan=cfg.hidsize,
+            layer_type="linear",
+            layer_norm=cfg.dense_use_layer_norm,
+            dtype=dtype,
+            name="linear",
+        )(x)
+        return x
+
+
+class MinecraftPolicy(nn.Module):
+    """Latent trunk: vision → recurrence → pi/vf latents
+    (reference: policy.py:83-224)."""
+
+    cfg: PolicyConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = _compute_dtype(cfg)
+        self.img_preprocess = ImgPreprocessing(
+            scale_img=cfg.scale_input_img,
+            use_img_statistics=cfg.img_statistics is not None,
+        )
+        self.img_process = ImgObsProcess(cfg)
+        if cfg.use_pre_lstm_ln:
+            self.pre_lstm_ln = LayerNorm()
+        self.recurrent_layer = ResidualRecurrentBlocks(
+            hidsize=cfg.hidsize,
+            timesteps=cfg.timesteps,
+            n_block=cfg.n_recurrence_layers,
+            recurrence_type=cfg.recurrence_type,
+            is_residual=cfg.recurrence_is_residual,
+            use_pointwise_layer=cfg.use_pointwise_layer,
+            pointwise_ratio=cfg.pointwise_ratio,
+            pointwise_use_activation=cfg.pointwise_use_activation,
+            attention_heads=cfg.attention_heads,
+            attention_memory_size=cfg.attention_memory_size,
+            attention_mask_style=cfg.attention_mask_style,
+            dtype=dtype,
+        ) if cfg.recurrence_type != "none" else None
+        self.lastlayer = FanInInitLayer(
+            outchan=cfg.hidsize,
+            layer_type="linear",
+            layer_norm=cfg.dense_use_layer_norm,
+            dtype=dtype,
+        )
+        self.final_ln = LayerNorm()
+
+    def __call__(self, img, first, state):
+        x = self.img_preprocess(img)
+        x = self.img_process(x)
+        if self.cfg.use_pre_lstm_ln:
+            x = self.pre_lstm_ln(x)
+        if self.recurrent_layer is not None:
+            x, state_out = self.recurrent_layer(x, first, state)
+        else:
+            state_out = state
+        x = nn.relu(x)
+        x = self.lastlayer(x)
+        x = self.final_ln(x)
+        return x, state_out
+
+
+class MinecraftAgentPolicy(nn.Module):
+    """Trunk + action head + value head (reference: policy.py:227-269)."""
+
+    cfg: PolicyConfig
+    head_specs: Tuple[HeadSpec, ...]
+    temperature: float = 1.0
+
+    def setup(self):
+        self.net = MinecraftPolicy(self.cfg)
+        self.value_head = ScaledMSEHead(output_size=1, norm_axes=2)
+        self.pi_head = DictActionHead(
+            specs=self.head_specs,
+            temperature=self.temperature,
+            dtype=_compute_dtype(self.cfg),
+        )
+
+    def __call__(self, img, first, state, action_mask: Optional[Dict] = None):
+        """:returns: ({"pi_logits": dict, "vpred": denormalized (B,T,1),
+        "vpred_raw": normalized-space (B,T,1)}, state_out)"""
+        latent, state_out = self.net(img, first, state)
+        pi_logits = self.pi_head(latent, mask=action_mask)
+        vpred_raw = self.value_head(latent)
+        return (
+            {
+                "pi_logits": pi_logits,
+                "vpred_raw": vpred_raw,
+                "vpred": self.value_head.denormalize(vpred_raw),
+            },
+            state_out,
+        )
+
+
+class InverseActionNet(nn.Module):
+    """IDM trunk: Conv3D → Impala → bidirectional transformer
+    (reference: policy.py:342-403)."""
+
+    cfg: PolicyConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = _compute_dtype(cfg)
+        self.img_preprocess = ImgPreprocessing(
+            scale_img=cfg.scale_input_img,
+            use_img_statistics=cfg.img_statistics is not None,
+        )
+        if cfg.conv3d_params is not None:
+            p = dict(cfg.conv3d_params)
+            ks = p.get("kernel_size", 3)
+            ks = (ks,) * 3 if isinstance(ks, int) else tuple(ks)
+            pad = p.get("padding", 0)
+            pad = (pad,) * 3 if isinstance(pad, int) else tuple(pad)
+            stride = p.get("stride", 1)
+            stride = (stride,) * 3 if isinstance(stride, int) else tuple(stride)
+            self.conv3d_layer = FanInInitLayer(
+                outchan=p["outchan"],
+                layer_type="conv3d",
+                kernel_size=ks,
+                strides=stride,
+                padding=tuple((q, q) for q in pad),
+                # 3D conv is the first layer; its input is already normalized
+                # (reference: policy.py:361-372 strips norm kwargs)
+                batch_norm=False,
+                group_norm_groups=None,
+                dtype=dtype,
+            )
+        else:
+            self.conv3d_layer = None
+        self.img_process = ImgObsProcess(
+            # first Impala conv normalizes iff a conv3d front end exists
+            # (reference: policy.py:354-359)
+            cfg.replace(first_conv_norm=cfg.conv3d_params is not None)
+        )
+        self.recurrent_layer = ResidualRecurrentBlocks(
+            hidsize=cfg.hidsize,
+            timesteps=cfg.timesteps,
+            n_block=cfg.n_recurrence_layers,
+            recurrence_type=cfg.recurrence_type,
+            is_residual=cfg.recurrence_is_residual,
+            use_pointwise_layer=cfg.use_pointwise_layer,
+            pointwise_ratio=cfg.pointwise_ratio,
+            pointwise_use_activation=cfg.pointwise_use_activation,
+            attention_heads=cfg.attention_heads,
+            attention_memory_size=cfg.attention_memory_size,
+            attention_mask_style=cfg.attention_mask_style,
+            dtype=dtype,
+        )
+        self.lastlayer = FanInInitLayer(
+            outchan=cfg.hidsize,
+            layer_type="linear",
+            layer_norm=cfg.dense_use_layer_norm,
+            dtype=dtype,
+        )
+        self.final_ln = LayerNorm()
+
+    def __call__(self, img, first, state):
+        x = self.img_preprocess(img)
+        if self.conv3d_layer is not None:
+            # (B, T, H, W, C) is already the TPU-native NDHWC conv layout;
+            # no per-sample split needed (reference loops at policy.py:394-403
+            # purely to bound torch memory)
+            x = self.conv3d_layer(x)
+        x = self.img_process(x)
+        x, state_out = self.recurrent_layer(x, first, state)
+        x = nn.relu(x)
+        _discarded = self.lastlayer(x)  # reference quirk: computed, overwritten
+        x = self.final_ln(x)
+        return x, state_out
+
+
+class InverseActionPolicy(nn.Module):
+    """IDM trunk + factored action head (reference: policy.py:406-467)."""
+
+    cfg: PolicyConfig
+    head_specs: Tuple[HeadSpec, ...]
+    temperature: float = 1.0
+
+    def setup(self):
+        self.net = InverseActionNet(self.cfg)
+        self.pi_head = DictActionHead(
+            specs=self.head_specs,
+            temperature=self.temperature,
+            dtype=_compute_dtype(self.cfg),
+        )
+
+    def __call__(self, img, first, state, action_mask: Optional[Dict] = None):
+        latent, state_out = self.net(img, first, state)
+        return {"pi_logits": self.pi_head(latent, mask=action_mask)}, state_out
+
+
+def policy_initial_state(cfg: PolicyConfig, batchsize: int):
+    """Initial recurrent state for a policy/IDM config — a pure function of the
+    config so callers never need a live module (reference: policy.py:220-224
+    routes through module instances instead)."""
+    from vpt_tpu.models.transformer import masked_attention_initial_state
+
+    if cfg.recurrence_type == "none":
+        return None
+    dtype = _compute_dtype(cfg)
+    if cfg.recurrence_type == "transformer":
+        return [
+            masked_attention_initial_state(batchsize, cfg.maxlen, cfg.hidsize, dtype)
+            for _ in range(cfg.n_recurrence_layers)
+        ]
+    return [
+        {
+            "h": jnp.zeros((batchsize, cfg.hidsize), dtype),
+            "c": jnp.zeros((batchsize, cfg.hidsize), dtype),
+        }
+        for _ in range(cfg.n_recurrence_layers)
+    ]
