@@ -12,3 +12,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache makes repeated suite runs much faster
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vpt")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

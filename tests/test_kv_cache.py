@@ -37,7 +37,7 @@ def setup():
         masked_attention_initial_state(2, MAXLEN, HID, jnp.float32)
         for _ in range(NBLOCK)
     ]
-    params = chunk.init(jax.random.PRNGKey(0), jnp.array(x), jnp.zeros((2, T), bool), state0)
+    params = jax.jit(chunk.init)(jax.random.PRNGKey(0), jnp.array(x), jnp.zeros((2, T), bool), state0)
     return chunk, step, params, x, state0
 
 
@@ -124,7 +124,7 @@ def test_window_limits_context():
     state0 = [masked_attention_initial_state(2, MAXLEN, HID, jnp.float32)]
     rng = np.random.default_rng(4)
     x = rng.normal(size=(2, 8, HID)).astype(np.float32)
-    params = chunk.init(jax.random.PRNGKey(0), jnp.array(x), jnp.zeros((2, 8), bool), state0)
+    params = jax.jit(chunk.init)(jax.random.PRNGKey(0), jnp.array(x), jnp.zeros((2, 8), bool), state0)
     hist_a = rng.normal(size=(2, MAXLEN, HID)).astype(np.float32)
     hist_b = rng.normal(size=(2, MAXLEN, HID)).astype(np.float32)
     probe = rng.normal(size=(2, 8, HID)).astype(np.float32)

@@ -42,7 +42,7 @@ def policy_and_params():
     model = MinecraftAgentPolicy(cfg=TINY, head_specs=SPECS, temperature=2.0)
     img = _img(2, 4)
     state = policy_initial_state(TINY, 2)
-    variables = model.init(jax.random.PRNGKey(0), jnp.array(img), jnp.zeros((2, 4), bool), state)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.array(img), jnp.zeros((2, 4), bool), state)
     return model, variables, state
 
 
@@ -104,7 +104,7 @@ def test_idm_forward():
     model = InverseActionPolicy(cfg=cfg, head_specs=IDM_SPECS, temperature=1.0)
     img = _img(1, 4)
     state = policy_initial_state(cfg, 1)
-    variables = model.init(jax.random.PRNGKey(0), jnp.array(img), jnp.zeros((1, 4), bool), state)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.array(img), jnp.zeros((1, 4), bool), state)
     out, _ = model.apply(variables, jnp.array(img), jnp.zeros((1, 4), bool), state)
     assert out["pi_logits"]["buttons"].shape == (1, 4, 20, 2)
     assert out["pi_logits"]["camera"].shape == (1, 4, 2, 5)
@@ -120,7 +120,7 @@ def test_idm_bidirectional_attention():
     model = InverseActionPolicy(cfg=cfg, head_specs=IDM_SPECS, temperature=1.0)
     img = _img(1, 4)
     state = policy_initial_state(cfg, 1)
-    variables = model.init(jax.random.PRNGKey(0), jnp.array(img), jnp.zeros((1, 4), bool), state)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.array(img), jnp.zeros((1, 4), bool), state)
     out1, _ = model.apply(variables, jnp.array(img), jnp.zeros((1, 4), bool), state)
     img2 = img.copy()
     img2[:, -1] = 255 - img2[:, -1]  # change only the last frame
@@ -135,7 +135,7 @@ def test_causal_policy_ignores_future():
     model = MinecraftAgentPolicy(cfg=TINY, head_specs=SPECS, temperature=2.0)
     img = _img(1, 4)
     state = policy_initial_state(TINY, 1)
-    variables = model.init(jax.random.PRNGKey(0), jnp.array(img), jnp.zeros((1, 4), bool), state)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.array(img), jnp.zeros((1, 4), bool), state)
     out1, _ = model.apply(variables, jnp.array(img), jnp.zeros((1, 4), bool), state)
     img2 = img.copy()
     img2[:, -1] = 255 - img2[:, -1]
@@ -152,7 +152,7 @@ def test_lstm_recurrence():
     model = MinecraftAgentPolicy(cfg=cfg, head_specs=SPECS, temperature=2.0)
     img = _img(2, 4)
     state = policy_initial_state(cfg, 2)
-    variables = model.init(jax.random.PRNGKey(0), jnp.array(img), jnp.zeros((2, 4), bool), state)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.array(img), jnp.zeros((2, 4), bool), state)
     out, state_out = model.apply(variables, jnp.array(img), jnp.zeros((2, 4), bool), state)
     assert out["pi_logits"]["buttons"].shape == (2, 4, 1, 23)
     assert state_out[0]["h"].shape == (2, 64)

@@ -1,0 +1,15 @@
+from vpt_tpu.checkpoint.torch_import import (
+    load_model_parameters,
+    load_weights,
+    state_dict_to_variables,
+    variables_to_state_dict,
+    save_weights,
+)
+
+__all__ = [
+    "load_model_parameters",
+    "load_weights",
+    "state_dict_to_variables",
+    "variables_to_state_dict",
+    "save_weights",
+]
