@@ -1,0 +1,56 @@
+"""Fine-tune a VPT policy on contractor recordings
+(reference: behavioural_cloning.py).
+
+CLI-compatible with the reference (--data-dir/--in-model/--in-weights/
+--out-weights).  Training is the TPU-native upgrade: sequence-chunked (T=128)
+batches under a data-parallel mesh, instead of the reference's per-sample
+gradient accumulation.  ``--chunk-len 1`` reproduces the reference's
+single-step loss semantics for parity checks.
+"""
+
+from argparse import ArgumentParser
+
+from vpt_tpu.training.bc import BCHyperparams, BCTrainer
+
+
+def behavioural_cloning_train(data_dir, in_model, in_weights, out_weights,
+                              batch_size=8, chunk_len=128, epochs=2,
+                              checkpoint_dir=None, checkpoint_every=0,
+                              resume=False, compute_dtype="float32"):
+    hp = BCHyperparams(
+        batch_size=batch_size,
+        chunk_len=chunk_len,
+        epochs=epochs,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+    )
+    trainer = BCTrainer.from_files(in_model, in_weights, hp=hp, compute_dtype=compute_dtype)
+    steps = trainer.train(
+        data_dir,
+        out_weights,
+        resume_dir=checkpoint_dir if resume else None,
+    )
+    print(f"Finished: {steps} optimizer steps → {out_weights}")
+
+
+if __name__ == "__main__":
+    parser = ArgumentParser()
+    parser.add_argument("--data-dir", type=str, required=True, help="Path to the directory containing recordings to be trained on")
+    parser.add_argument("--in-model", required=True, type=str, help="Path to the .model file to be finetuned")
+    parser.add_argument("--in-weights", required=True, type=str, help="Path to the .weights file to be finetuned")
+    parser.add_argument("--out-weights", required=True, type=str, help="Path where finetuned weights will be saved")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--chunk-len", type=int, default=128, help="Sequence window length (1 = reference single-step mode)")
+    parser.add_argument("--epochs", type=int, default=2)
+    parser.add_argument("--checkpoint-dir", type=str, default=None, help="Mid-run checkpoint directory")
+    parser.add_argument("--checkpoint-every", type=int, default=0, help="Steps between mid-run checkpoints")
+    parser.add_argument("--resume", action="store_true", help="Resume from the latest checkpoint in --checkpoint-dir")
+    parser.add_argument("--compute-dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+
+    args = parser.parse_args()
+    behavioural_cloning_train(
+        args.data_dir, args.in_model, args.in_weights, args.out_weights,
+        batch_size=args.batch_size, chunk_len=args.chunk_len, epochs=args.epochs,
+        checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
+        resume=args.resume, compute_dtype=args.compute_dtype,
+    )

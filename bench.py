@@ -1,0 +1,127 @@
+"""Benchmark: batched policy-rollout throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+Measured config: the published foundation architecture at 2x width (fallback
+kwargs, agent.py:16-36) serving 64 parallel env streams with the recurrent
+KV cache — BASELINE.json config #5, the batched-rollout runtime.
+
+``vs_baseline`` compares against a torch-CPU measurement of the same
+architecture (the reference implementation's framework on the only hardware
+it can run on in this image — no CUDA, and the reference's A100 numbers are
+unpublished).  The torch number is measured once and cached in
+``BENCH_BASELINE.json``; pass --remeasure-baseline to refresh it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+
+N_STREAMS = 64
+WARMUP_STEPS = 5
+MEASURE_STEPS = 60
+
+
+def bench_tpu(n_streams: int = N_STREAMS, compute_dtype: str = "bfloat16") -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from vpt_tpu.actions.mapping import CameraHierarchicalMapping
+    from vpt_tpu.config import FOUNDATION_POLICY_KWARGS, PolicyConfig
+    from vpt_tpu.models.heads import dict_sample, head_specs_from_space
+    from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
+    from vpt_tpu.spaces import DictType
+
+    cfg = PolicyConfig.from_kwargs(FOUNDATION_POLICY_KWARGS).replace(compute_dtype=compute_dtype)
+    mapper = CameraHierarchicalMapping(n_camera_bins=11)
+    specs = head_specs_from_space(DictType(**mapper.get_action_space_update()))
+    model = MinecraftAgentPolicy(cfg=cfg, head_specs=specs, temperature=2.0)
+
+    img = jnp.zeros((n_streams, 1, 128, 128, 3), jnp.uint8)
+    first = jnp.zeros((n_streams, 1), bool)
+    state = policy_initial_state(cfg, n_streams)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, first, state)
+
+    @jax.jit
+    def step(variables, img, first, state, key):
+        out, state = model.apply(variables, img, first, state)
+        logits = jax.tree.map(lambda x: x[:, -1], out["pi_logits"])
+        key, sub = jax.random.split(key)
+        action = dict_sample(sub, logits, specs)
+        return action, state, key
+
+    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(0)
+    frames = [
+        jnp.asarray(rng.integers(0, 255, (n_streams, 1, 128, 128, 3), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    # warmup/compile; NOTE: on the tunneled 'axon' platform block_until_ready
+    # does not actually wait, so completion is forced by a host transfer
+    for i in range(WARMUP_STEPS):
+        action, state, key = step(variables, frames[i % 4], first, state, key)
+    np.asarray(action["buttons"])
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        action, state, key = step(variables, frames[i % 4], first, state, key)
+    np.asarray(action["buttons"])  # single D2H closes the dependency chain
+    dt = time.perf_counter() - t0
+    return n_streams * MEASURE_STEPS / dt
+
+
+def bench_torch_baseline(n_streams: int = N_STREAMS) -> float:
+    """Same architecture, reference framework (torch), available hardware (CPU)."""
+    from bench_torch_ref import measure_policy_step_fps
+
+    return measure_policy_step_fps(n_streams=n_streams, n_steps=3)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=N_STREAMS)
+    ap.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--remeasure-baseline", action="store_true")
+    args = ap.parse_args()
+
+    fps = bench_tpu(n_streams=args.streams, compute_dtype=args.compute_dtype)
+
+    baseline = None
+    if os.path.exists(BASELINE_CACHE) and not args.remeasure_baseline:
+        with open(BASELINE_CACHE) as f:
+            baseline = json.load(f).get("torch_cpu_fps")
+    if baseline is None:
+        try:
+            baseline = bench_torch_baseline(n_streams=args.streams)
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump(
+                    {
+                        "torch_cpu_fps": baseline,
+                        "note": "reference architecture in torch on this host's CPU "
+                        "(no CUDA in image); 64-stream single-step rollout",
+                    },
+                    f,
+                )
+        except Exception as e:
+            print(f"# baseline measurement failed: {e!r}", flush=True)
+            baseline = None
+
+    result = {
+        "metric": f"policy rollout throughput, 2x-width foundation arch, {args.streams} streams, KV cache",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

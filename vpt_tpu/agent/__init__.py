@@ -1,0 +1,4 @@
+from vpt_tpu.agent.agent import MineRLAgent, AGENT_RESOLUTION, ENV_KWARGS, validate_env
+from vpt_tpu.agent.idm import IDMAgent
+
+__all__ = ["MineRLAgent", "IDMAgent", "AGENT_RESOLUTION", "ENV_KWARGS", "validate_env"]

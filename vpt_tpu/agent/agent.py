@@ -1,0 +1,214 @@
+"""MineRLAgent: env-facing wrapper around the policy (reference: agent.py).
+
+TPU-native runtime design: the per-frame hot loop is ONE jitted step function
+whose carry is (recurrent state, PRNG key); the host only resizes the frame
+(cv2-bit-exact fixed-point numpy / native C++), ships uint8 bytes to the
+device, and decodes the sampled joint action indices back through the
+precomputed mapping tables.  The same step function serves 1 env or a batch
+of N parallel env streams (the KV caches simply gain a leading batch dim) —
+the batched-rollout runtime of BASELINE.json config #5.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vpt_tpu.actions import ActionTransformer, CameraHierarchicalMapping
+from vpt_tpu.config import (
+    FOUNDATION_PI_HEAD_KWARGS,
+    FOUNDATION_POLICY_KWARGS,
+    PolicyConfig,
+)
+from vpt_tpu.models.heads import dict_sample, head_specs_from_space
+from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
+from vpt_tpu.ops.resize import resize_image
+from vpt_tpu.spaces import DictType
+from vpt_tpu.checkpoint import load_weights, state_dict_to_variables
+
+AGENT_RESOLUTION = (128, 128)  # reference: agent.py:14
+
+ACTION_TRANSFORMER_KWARGS = dict(  # reference: agent.py:40-45
+    camera_binsize=2,
+    camera_maxval=10,
+    camera_mu=10,
+    camera_quantization_scheme="mu_law",
+)
+
+ENV_KWARGS = dict(  # reference: agent.py:47-54
+    fov_range=[70, 70],
+    frameskip=1,
+    gamma_range=[2, 2],
+    guiscale_range=[1, 1],
+    resolution=[640, 360],
+    cursor_size_range=[16.0, 16.0],
+)
+
+# Names the MineRL env must expose (reference: agent.py:56-81); values checked
+# only when the env provides a gym action space.
+TARGET_ACTION_NAMES = {
+    "ESC", "attack", "back", "camera", "drop", "forward",
+    "hotbar.1", "hotbar.2", "hotbar.3", "hotbar.4", "hotbar.5",
+    "hotbar.6", "hotbar.7", "hotbar.8", "hotbar.9",
+    "inventory", "jump", "left", "pickItem", "right",
+    "sneak", "sprint", "swapHands", "use",
+}
+
+
+def validate_env(env) -> None:
+    """Check the MineRL env matches the recording setup (reference:
+    agent.py:84-97).  No-op for envs without the expected attributes."""
+    task = getattr(env, "task", None)
+    if task is not None:
+        for key, value in ENV_KWARGS.items():
+            if key == "frameskip":
+                continue
+            if getattr(task, key, value) != value:
+                raise ValueError(f"MineRL environment setting {key} does not match {value}")
+    space = getattr(env, "action_space", None)
+    spaces_dict = getattr(space, "spaces", None)
+    if spaces_dict is not None:
+        names = set(spaces_dict.keys())
+        if names != TARGET_ACTION_NAMES:
+            raise ValueError(
+                f"MineRL action space does not match. Expected actions {TARGET_ACTION_NAMES}"
+            )
+
+
+class MineRLAgent:
+    """Plays Minecraft from pixels with persistent recurrent state.
+
+    :param env: optional MineRL env to validate against
+    :param policy_kwargs: raw ``.model`` kwargs dict (falls back to the
+        published foundation settings, reference: agent.py:16-36)
+    :param pi_head_kwargs: e.g. {"temperature": 2.0}
+    :param batch_size: number of parallel env streams sharing this agent
+    :param compute_dtype: "float32" (parity) or "bfloat16" (TPU throughput)
+    """
+
+    def __init__(
+        self,
+        env=None,
+        device=None,  # accepted for reference API compatibility; JAX manages placement
+        policy_kwargs: Optional[Dict[str, Any]] = None,
+        pi_head_kwargs: Optional[Dict[str, Any]] = None,
+        batch_size: int = 1,
+        seed: int = 0,
+        compute_dtype: str = "float32",
+    ):
+        if env is not None:
+            validate_env(env)
+        self.batch_size = batch_size
+        self.action_mapper = CameraHierarchicalMapping(n_camera_bins=11)
+        self.action_transformer = ActionTransformer(**ACTION_TRANSFORMER_KWARGS)
+
+        policy_kwargs = dict(policy_kwargs or FOUNDATION_POLICY_KWARGS)
+        pi_head_kwargs = dict(pi_head_kwargs or FOUNDATION_PI_HEAD_KWARGS)
+        self.cfg = PolicyConfig.from_kwargs(policy_kwargs).replace(compute_dtype=compute_dtype)
+        self.temperature = float(pi_head_kwargs.get("temperature", 1.0))
+        space = DictType(**self.action_mapper.get_action_space_update())
+        self.head_specs = head_specs_from_space(space)
+        self.policy = MinecraftAgentPolicy(
+            cfg=self.cfg, head_specs=self.head_specs, temperature=self.temperature
+        )
+
+        # resolution follows the model's img_shape ((h, w, c) → cv2 (w, h));
+        # 128×128 for all published checkpoints (reference: agent.py:14)
+        self._resolution = (self.cfg.img_shape[1], self.cfg.img_shape[0])
+        self._rng = jax.random.PRNGKey(seed)
+        self.variables = None
+        self.hidden_state = policy_initial_state(self.cfg, batch_size)
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------ setup
+
+    def _build_step(self):
+        policy, specs = self.policy, self.head_specs
+
+        def step(variables, img, first, state, key, stochastic):
+            out, state = policy.apply(variables, img, first, state)
+            logits = jax.tree.map(lambda x: x[:, -1], out["pi_logits"])
+            key, sub = jax.random.split(key)
+            action = dict_sample(sub, logits, specs, deterministic=not stochastic)
+            return action, out["vpred"][:, -1], state, key
+
+        return jax.jit(step, static_argnames=("stochastic",))
+
+    def _ensure_variables(self):
+        if self.variables is None:
+            img = jnp.zeros((1, 1) + tuple(self.cfg.img_shape), jnp.uint8)
+            state = policy_initial_state(self.cfg, 1)
+            self.variables = jax.jit(self.policy.init)(
+                jax.random.PRNGKey(0), img, jnp.zeros((1, 1), bool), state
+            )
+
+    def load_weights(self, path: str) -> None:
+        """Load a reference ``.weights`` file (strict=False) and reset state."""
+        self._ensure_variables()
+        sd = load_weights(path)
+        self.variables, report = state_dict_to_variables(sd, variables=self.variables)
+        if report["unexpected"] or report["shape_mismatch"]:
+            print(
+                f"[vpt_tpu] load_weights: ignored {len(report['unexpected'])} unexpected keys, "
+                f"{len(report['shape_mismatch'])} shape mismatches"
+            )
+        self.reset()
+
+    def reset(self) -> None:
+        """Reset recurrent state for all streams (reference: agent.py:137-139)."""
+        self.hidden_state = policy_initial_state(self.cfg, self.batch_size)
+
+    # ------------------------------------------------------------ conversions
+
+    def _env_obs_to_agent(self, minerl_obs) -> np.ndarray:
+        """(batched) env obs → (B, 1, 128, 128, 3) uint8 frames."""
+        povs = minerl_obs if isinstance(minerl_obs, list) else [minerl_obs]
+        frames = [resize_image(o["pov"], self._resolution) for o in povs]
+        return np.stack(frames)[:, None]
+
+    def _agent_action_to_env(self, agent_action) -> Dict[str, np.ndarray]:
+        action = {
+            "buttons": np.asarray(agent_action["buttons"]),
+            "camera": np.asarray(agent_action["camera"]),
+        }
+        factored = self.action_mapper.to_factored(action)
+        return self.action_transformer.policy2env(factored)
+
+    def _env_action_to_agent(self, minerl_action_transformed, check_if_null: bool = False):
+        """Env action → joint-space action arrays (reference: agent.py:166-188)."""
+        minerl_action = self.action_transformer.env2policy(minerl_action_transformed)
+        if check_if_null:
+            if np.all(minerl_action["buttons"] == 0) and np.all(
+                minerl_action["camera"] == self.action_transformer.camera_zero_bin()
+            ):
+                return None
+        if minerl_action["camera"].ndim == 1:
+            minerl_action = {k: v[None] for k, v in minerl_action.items()}
+        return self.action_mapper.from_factored(minerl_action)
+
+    # ------------------------------------------------------------------- step
+
+    def get_action(self, minerl_obs, first: Optional[np.ndarray] = None, stochastic: bool = True):
+        """One policy step; returns a MineRL action dict (a list of dicts when
+        the agent was built with batch_size > 1)."""
+        self._ensure_variables()
+        img = self._env_obs_to_agent(minerl_obs)
+        b = img.shape[0]
+        assert b == self.batch_size, f"got {b} obs for batch_size {self.batch_size}"
+        if first is None:
+            first = np.zeros((b, 1), bool)
+        else:
+            first = np.asarray(first, bool).reshape(b, 1)
+        action, vpred, self.hidden_state, self._rng = self._step(
+            self.variables, jnp.asarray(img), jnp.asarray(first), self.hidden_state,
+            self._rng, stochastic,
+        )
+        env_action = self._agent_action_to_env(jax.tree.map(np.asarray, action))
+        if isinstance(minerl_obs, list):
+            return [
+                {k: v[i] for k, v in env_action.items()} for i in range(b)
+            ]
+        return {k: v[0] for k, v in env_action.items()}

@@ -173,10 +173,12 @@ def state_dict_to_variables(
                 if strict:
                     raise KeyError(f"unexpected checkpoint key {key}")
                 continue
+            # .shape/.size/.dtype are metadata — never force a device→host
+            # transfer here (remote TPU platforms pay ~0.5s RTT per transfer)
             if tuple(existing.shape) != tuple(flax_value.shape):
-                if flax_value.size == np.asarray(existing).size and flax_value.size == 1:
+                if flax_value.size == existing.size and flax_value.size == 1:
                     # 0-d scalars round-trip through torch.save as shape (1,)
-                    flax_value = flax_value.reshape(np.asarray(existing).shape)
+                    flax_value = flax_value.reshape(existing.shape)
                 else:
                     report["shape_mismatch"].append(
                         (key, tuple(existing.shape), tuple(flax_value.shape))
@@ -186,7 +188,7 @@ def state_dict_to_variables(
                             f"shape mismatch for {key}: model {existing.shape} vs ckpt {flax_value.shape}"
                         )
                     continue
-            flax_value = flax_value.astype(np.asarray(existing).dtype)
+            flax_value = flax_value.astype(existing.dtype)
         _set_in(out[collection], path, flax_value)
         seen_paths.add((collection,) + path)
 

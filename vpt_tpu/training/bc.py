@@ -1,0 +1,261 @@
+"""Behavioural-cloning fine-tuning (reference: behavioural_cloning.py).
+
+TPU-native upgrades over the reference's loop:
+
+  * truly batched, sequence-chunked training (T=128 windows — the geometry
+    the architecture was built for, agent.py:33) instead of per-sample
+    gradient accumulation of batch-size-1 graphs;
+  * one jitted train step, data-parallel over the device mesh: batch and
+    recurrent state are sharded on ``dp``, parameters replicated, XLA psums
+    the gradients over ICI;
+  * recurrent state carried across an episode's consecutive chunks
+    (truncated-BPTT at chunk boundaries, vs the reference's 1-step
+    truncation at behavioural_cloning.py:111);
+  * optimizer-equivalent of the reference's torch Adam(weight_decay=…):
+    gradient clip 5.0 → L2 term added to the gradient → Adam moments
+    (torch's Adam applies weight_decay as an L2 gradient term, NOT AdamW);
+  * mid-run checkpoints with optimizer state + data cursor, preemption-safe.
+
+Hyperparameters default to the reference's ("taken from the OpenAI VPT
+paper", behavioural_cloning.py:26-40).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vpt_tpu.actions.mapping import CameraHierarchicalMapping
+from vpt_tpu.checkpoint import load_model_parameters, load_weights, save_weights, state_dict_to_variables
+from vpt_tpu.config import PolicyConfig
+from vpt_tpu.models.heads import dict_logprob, head_specs_from_space
+from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
+from vpt_tpu.parallel.mesh import batch_sharded, make_mesh, replicated
+from vpt_tpu.spaces import DictType
+from vpt_tpu.utils.metrics import MetricsLogger
+
+
+@dataclasses.dataclass
+class BCHyperparams:
+    learning_rate: float = 0.000181   # reference: behavioural_cloning.py:37
+    weight_decay: float = 0.039428    # reference: behavioural_cloning.py:38
+    max_grad_norm: float = 5.0        # reference: behavioural_cloning.py:39
+    epochs: int = 2                   # reference: behavioural_cloning.py:25
+    batch_size: int = 8               # reference: behavioural_cloning.py:27
+    chunk_len: int = 128              # sequence window (reference trains T=1)
+    loss_report_rate: int = 100       # reference: behavioural_cloning.py:35
+    checkpoint_every: int = 0         # steps between mid-run checkpoints (0 = off)
+    checkpoint_dir: Optional[str] = None
+
+
+def make_optimizer(hp: BCHyperparams) -> optax.GradientTransformation:
+    """clip → +wd·θ → Adam → −lr·update == torch clip_grad_norm_ +
+    Adam(lr, weight_decay) (reference: behavioural_cloning.py:63-67, 121-123)."""
+    return optax.chain(
+        optax.clip_by_global_norm(hp.max_grad_norm),
+        optax.add_decayed_weights(hp.weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-hp.learning_rate),
+    )
+
+
+class BCTrainer:
+    """Sequence-chunked data-parallel BC fine-tuning."""
+
+    def __init__(
+        self,
+        policy_kwargs: Dict[str, Any],
+        pi_head_kwargs: Dict[str, Any],
+        hp: Optional[BCHyperparams] = None,
+        mesh=None,
+        compute_dtype: str = "float32",
+        seed: int = 0,
+    ):
+        self.hp = hp or BCHyperparams()
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.cfg = PolicyConfig.from_kwargs(dict(policy_kwargs)).replace(
+            compute_dtype=compute_dtype
+        )
+        self.temperature = float(pi_head_kwargs.get("temperature", 1.0))
+        self.action_mapper = CameraHierarchicalMapping(n_camera_bins=11)
+        space = DictType(**self.action_mapper.get_action_space_update())
+        self.head_specs = head_specs_from_space(space)
+        self.policy = MinecraftAgentPolicy(
+            cfg=self.cfg, head_specs=self.head_specs, temperature=self.temperature
+        )
+        self.optimizer = make_optimizer(self.hp)
+        self._seed = seed
+        self.variables = None
+        self.opt_state = None
+        self.step_count = 0
+        self._train_step = self._build_train_step()
+
+    # ------------------------------------------------------------------ setup
+
+    def init(self):
+        if self.variables is not None:
+            return
+        img = jnp.zeros((1, 1) + tuple(self.cfg.img_shape), jnp.uint8)
+        state = policy_initial_state(self.cfg, 1)
+        self.variables = jax.jit(self.policy.init)(
+            jax.random.PRNGKey(self._seed), img, jnp.zeros((1, 1), bool), state
+        )
+        self.variables = jax.device_put(self.variables, replicated(self.mesh))
+        self.opt_state = jax.jit(self.optimizer.init)(self.variables["params"])
+        self.opt_state = jax.device_put(self.opt_state, replicated(self.mesh))
+
+    def load_weights(self, path: str):
+        self.init()
+        sd = load_weights(path)
+        self.variables, report = state_dict_to_variables(sd, variables=jax.tree.map(np.asarray, self.variables))
+        self.variables = jax.device_put(self.variables, replicated(self.mesh))
+        return report
+
+    @classmethod
+    def from_files(cls, in_model: str, in_weights: Optional[str] = None, **kw) -> "BCTrainer":
+        policy_kwargs, pi_head_kwargs = load_model_parameters(in_model)
+        trainer = cls(policy_kwargs, pi_head_kwargs, **kw)
+        trainer.init()
+        if in_weights:
+            trainer.load_weights(in_weights)
+        return trainer
+
+    # ------------------------------------------------------------------- step
+
+    def _build_train_step(self):
+        policy, specs, optimizer = self.policy, self.head_specs, self.optimizer
+
+        def loss_fn(params, stats, batch, state):
+            variables = {"params": params, "stats": stats}
+            out, state_out = policy.apply(
+                variables, batch["frames"], batch["firsts"], state
+            )
+            actions = {
+                "buttons": batch["buttons"][..., None],
+                "camera": batch["camera"][..., None],
+            }
+            logp = dict_logprob(out["pi_logits"], actions, specs)  # (B, T)
+            mask = batch["mask"].astype(jnp.float32)
+            # normalize by B·T: at T=1 this is exactly the reference's
+            # sum(-logprob)/BATCH_SIZE accumulation (behavioural_cloning.py:117)
+            loss = -(logp * mask).sum() / (logp.shape[0] * logp.shape[1])
+            return loss, state_out
+
+        def train_step(variables, opt_state, batch, state):
+            (loss, state_out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                variables["params"], variables["stats"], batch, state
+            )
+            grad_norm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
+            params = optax.apply_updates(variables["params"], updates)
+            # detach the carried state (truncated BPTT at chunk boundary)
+            state_out = jax.tree.map(jax.lax.stop_gradient, state_out)
+            return {"params": params, "stats": variables["stats"]}, opt_state, state_out, loss, grad_norm
+
+        data_sh = batch_sharded(self.mesh)
+        repl = replicated(self.mesh)
+        return jax.jit(
+            train_step,
+            in_shardings=(repl, repl, data_sh, data_sh),
+            out_shardings=(repl, repl, data_sh, repl, repl),
+            donate_argnums=(0, 1, 3),
+        )
+
+    def train_step(self, batch: Dict[str, np.ndarray], state):
+        """One optimizer step on a (B, T) batch; returns (state, loss, grad_norm)."""
+        self.init()
+        batch = {
+            "frames": batch["frames"],
+            "buttons": batch["buttons"].astype(np.int32),
+            "camera": batch["camera"].astype(np.int32),
+            "firsts": batch["firsts"].astype(bool),
+            "mask": batch["mask"].astype(bool),
+        }
+        batch = jax.tree.map(lambda x: jax.device_put(x, batch_sharded(self.mesh)), batch)
+        self.variables, self.opt_state, state, loss, grad_norm = self._train_step(
+            self.variables, self.opt_state, batch, state
+        )
+        self.step_count += 1
+        return state, loss, grad_norm
+
+    def initial_state(self, batch_size: int):
+        state = policy_initial_state(self.cfg, batch_size)
+        return jax.device_put(state, batch_sharded(self.mesh))
+
+    # -------------------------------------------------------------------- run
+
+    def train(
+        self,
+        data_dir: str,
+        out_weights: str,
+        metrics: Optional[MetricsLogger] = None,
+        resume_dir: Optional[str] = None,
+    ):
+        """Full fine-tuning run over a contractor dataset directory."""
+        from vpt_tpu.checkpoint import native as native_ckpt
+        from vpt_tpu.data.loader import SequenceDataLoader
+
+        hp = self.hp
+        self.init()
+        metrics = metrics or MetricsLogger()
+        start_traj = 0
+        if resume_dir:
+            payload, data_state = native_ckpt.restore_checkpoint(resume_dir)
+            if payload is not None:
+                self.variables = jax.device_put(payload["variables"], replicated(self.mesh))
+                self.opt_state = jax.device_put(payload["opt_state"], replicated(self.mesh))
+                if data_state:
+                    start_traj = int(data_state.get("n_trajectories_dispatched", 0))
+                    self.step_count = int(data_state.get("step_count", 0))
+
+        loader = SequenceDataLoader(
+            data_dir,
+            batch_size=hp.batch_size,
+            chunk_len=hp.chunk_len,
+            n_epochs=hp.epochs,
+            seed=self._seed,
+            start_trajectory=start_traj,
+        )
+        state = self.initial_state(hp.batch_size)
+        # reset stream state when its episode changes
+        last_episode = np.full(hp.batch_size, -1, np.int64)
+        start = time.time()
+        loss_sum, frames_seen = 0.0, 0
+        try:
+            for batch in loader:
+                new_episode = batch["episode_ids"] != last_episode
+                batch["firsts"] = batch["firsts"] | new_episode[:, None] & (
+                    np.arange(hp.chunk_len)[None] == 0
+                )
+                last_episode = batch["episode_ids"]
+                state, loss, grad_norm = self.train_step(batch, state)
+                loss_sum += float(loss)
+                frames_seen += int(batch["mask"].sum())
+                if self.step_count % hp.loss_report_rate == 0:
+                    dt = time.time() - start
+                    metrics.log(
+                        step=self.step_count,
+                        loss=loss_sum / hp.loss_report_rate,
+                        grad_norm=float(grad_norm),
+                        frames_per_sec=frames_seen / max(dt, 1e-9),
+                        wall_time=dt,
+                    )
+                    loss_sum = 0.0
+                if hp.checkpoint_every and self.step_count % hp.checkpoint_every == 0 and hp.checkpoint_dir:
+                    native_ckpt.save_checkpoint(
+                        hp.checkpoint_dir,
+                        self.step_count,
+                        jax.tree.map(np.asarray, self.variables),
+                        opt_state=jax.tree.map(np.asarray, self.opt_state),
+                        data_state={**loader.state(), "step_count": self.step_count},
+                    )
+        finally:
+            loader.close()
+        save_weights(out_weights, jax.tree.map(np.asarray, self.variables))
+        return self.step_count
