@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vpt_tpu.spaces import DictType, Discrete, TensorType
+from vpt_tpu.spaces import DictType, Discrete, Real, TensorType
 
 LOG0 = -100.0
 
@@ -36,24 +36,32 @@ LOG0 = -100.0
 
 @dataclasses.dataclass(frozen=True)
 class HeadSpec:
-    """Shape metadata of one categorical sub-head.
+    """Shape metadata of one sub-head.
 
     value_shape: shape of one action value (e.g. (1,) joint buttons; (2,) IDM
-    camera axes); num_actions: categorical cardinality per entry."""
+    camera axes); num_actions: categorical cardinality per entry (ignored for
+    gaussian heads); kind: "categorical" | "gaussian"."""
 
     key: str
     value_shape: Tuple[int, ...]
-    num_actions: int
+    num_actions: int = 0
+    kind: str = "categorical"
 
 
 def head_specs_from_space(ac_space) -> Tuple[HeadSpec, ...]:
     """DictType action space → ordered HeadSpecs (reference: make_action_head,
-    lib/action_head.py:263-275; only Discrete element types are used by VPT)."""
+    lib/action_head.py:263-275).  Discrete eltypes become categorical heads,
+    Real eltypes diagonal-gaussian heads."""
     specs = []
     for key, ttype in ac_space.items():
         assert isinstance(ttype, TensorType), f"unsupported space for {key}: {ttype}"
-        assert isinstance(ttype.eltype, Discrete), f"unsupported eltype for {key}"
-        specs.append(HeadSpec(key=key, value_shape=tuple(ttype.shape), num_actions=ttype.eltype.n))
+        if isinstance(ttype.eltype, Discrete):
+            specs.append(HeadSpec(key=key, value_shape=tuple(ttype.shape), num_actions=ttype.eltype.n))
+        elif isinstance(ttype.eltype, Real):
+            assert len(ttype.shape) == 1, "Nontrivial shapes not yet implemented."
+            specs.append(HeadSpec(key=key, value_shape=tuple(ttype.shape), kind="gaussian"))
+        else:
+            raise NotImplementedError(f"unsupported eltype for {key}: {ttype.eltype}")
     return tuple(specs)
 
 
@@ -91,9 +99,33 @@ class CategoricalActionHead(nn.Module):
         return jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
 
 
+class DiagGaussianActionHead(nn.Module):
+    """Gaussian head: means from a linear layer, per-dim learned log-std
+    (reference: lib/action_head.py:54-133).  Output stacks [mean, logstd] on a
+    trailing axis of size 2."""
+
+    spec: HeadSpec
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        assert mask is None, "Can not use a mask in a gaussian action head"
+        n = self.spec.value_shape[0]
+        means = nn.Dense(
+            n,
+            name="linear_layer",
+            kernel_init=nn.initializers.orthogonal(0.01),
+            bias_init=nn.initializers.zeros_init(),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        log_std = self.param("log_std", nn.initializers.zeros_init(), (n,), jnp.float32)
+        log_std = jnp.broadcast_to(log_std, means.shape).astype(means.dtype)
+        return jnp.stack([means, log_std], axis=-1)
+
+
 class DictActionHead(nn.Module):
-    """One categorical sub-head per action-space key
-    (reference: lib/action_head.py:223-260)."""
+    """One sub-head per action-space key (reference: lib/action_head.py:223-260)."""
 
     specs: Tuple[HeadSpec, ...]
     temperature: float = 1.0
@@ -104,9 +136,12 @@ class DictActionHead(nn.Module):
         out = {}
         for spec in self.specs:
             m = None if mask is None else mask.get(spec.key)
-            out[spec.key] = CategoricalActionHead(
-                spec=spec, temperature=self.temperature, dtype=self.dtype, name=spec.key
-            )(x, mask=m)
+            if spec.kind == "gaussian":
+                out[spec.key] = DiagGaussianActionHead(spec=spec, dtype=self.dtype, name=spec.key)(x, mask=m)
+            else:
+                out[spec.key] = CategoricalActionHead(
+                    spec=spec, temperature=self.temperature, dtype=self.dtype, name=spec.key
+                )(x, mask=m)
         return out
 
 
@@ -149,26 +184,74 @@ def categorical_kl(logits_q: jnp.ndarray, logits_p: jnp.ndarray, spec: HeadSpec)
     return kl
 
 
+LOG2PI = 1.8378770664093453  # log(2π)
+
+
+def gaussian_logprob(pd: jnp.ndarray, actions: jnp.ndarray) -> jnp.ndarray:
+    """pd (..., n, 2) = [mean, logstd]; reference: lib/action_head.py:86-95."""
+    mean, log_std = pd[..., 0], pd[..., 1]
+    z = (actions - mean) / jnp.exp(log_std)
+    return -(0.5 * jnp.sum(z ** 2 + LOG2PI, axis=-1) + jnp.sum(log_std, axis=-1))
+
+
+def gaussian_entropy(pd: jnp.ndarray) -> jnp.ndarray:
+    log_std = pd[..., 1]
+    return jnp.sum(log_std + 0.5 * (LOG2PI + 1.0), axis=-1)
+
+
+def gaussian_sample(key, pd: jnp.ndarray, deterministic: bool = False) -> jnp.ndarray:
+    mean, log_std = pd[..., 0], pd[..., 1]
+    if deterministic:
+        return mean
+    return mean + jax.random.normal(key, mean.shape, mean.dtype) * jnp.exp(log_std)
+
+
+def gaussian_kl(pd_q: jnp.ndarray, pd_p: jnp.ndarray) -> jnp.ndarray:
+    """KL(q || p) per reference lib/action_head.py:114-133 (keepdim on last)."""
+    mq, lq = pd_q[..., 0], pd_q[..., 1]
+    mp, lp = pd_p[..., 0], pd_p[..., 1]
+    sq, sp = jnp.exp(lq), jnp.exp(lp)
+    kl = lp - lq + (sq ** 2 + (mq - mp) ** 2) / (2.0 * sp ** 2) - 0.5
+    return jnp.sum(kl, axis=-1, keepdims=True)
+
+
+def _head_logprob(pd, actions, spec: HeadSpec):
+    if spec.kind == "gaussian":
+        return gaussian_logprob(pd, actions)
+    return categorical_logprob(pd, actions, spec)
+
+
 def dict_logprob(logits: Dict[str, jnp.ndarray], actions: Dict[str, jnp.ndarray],
                  specs: Tuple[HeadSpec, ...]) -> jnp.ndarray:
-    return sum(categorical_logprob(logits[s.key], actions[s.key], s) for s in specs)
+    return sum(_head_logprob(logits[s.key], actions[s.key], s) for s in specs)
 
 
 def dict_entropy(logits: Dict[str, jnp.ndarray], specs: Tuple[HeadSpec, ...]) -> jnp.ndarray:
-    return sum(categorical_entropy(logits[s.key], s) for s in specs)
+    return sum(
+        gaussian_entropy(logits[s.key]) if s.kind == "gaussian" else categorical_entropy(logits[s.key], s)
+        for s in specs
+    )
 
 
 def dict_sample(key, logits: Dict[str, jnp.ndarray], specs: Tuple[HeadSpec, ...],
                 deterministic: bool = False) -> Dict[str, jnp.ndarray]:
     keys = jax.random.split(key, len(specs))
     return {
-        s.key: categorical_sample(k, logits[s.key], deterministic)
+        s.key: (
+            gaussian_sample(k, logits[s.key], deterministic)
+            if s.kind == "gaussian"
+            else categorical_sample(k, logits[s.key], deterministic)
+        )
         for s, k in zip(specs, keys)
     }
 
 
 def dict_kl(logits_q, logits_p, specs: Tuple[HeadSpec, ...]) -> jnp.ndarray:
-    return sum(categorical_kl(logits_q[s.key], logits_p[s.key], s) for s in specs)
+    return sum(
+        gaussian_kl(logits_q[s.key], logits_p[s.key]) if s.kind == "gaussian"
+        else categorical_kl(logits_q[s.key], logits_p[s.key], s)
+        for s in specs
+    )
 
 
 # ---------------------------------------------------------------------------

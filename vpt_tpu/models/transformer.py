@@ -98,31 +98,32 @@ class SelfAttentionLayer(nn.Module):
             new_cache = (k_cache, v_cache)
         T = K_full.shape[1]
 
-        extra = None
+        R = None
         if self.relattn:
             R = split_heads(self.r_layer(X).astype(jnp.float32), self.heads)  # (B,H,t,n)
-            extra = relattn_bias(R, self.b_nd, T)
 
         A = self._attend(
             split_heads(Q, self.heads),
             split_heads(K_full, self.heads),
             split_heads(V_full, self.heads),
             mask_btT,
-            extra,
+            R,
         )
         out = self.proj_layer(merge_heads(A))
         return X + out, new_cache
 
-    def _attend(self, q, k, v, mask, extra):
+    def _attend(self, q, k, v, mask, R):
         impl = self.attention_impl
         if impl in ("auto", "pallas"):
             from vpt_tpu.ops import pallas_attention
 
             fused = pallas_attention.maybe_fused_windowed_attention(
-                q, k, v, mask, extra, self.use_muP_factor, require=(impl == "pallas")
+                q, k, v, mask, R, self.b_nd if self.relattn else None,
+                self.use_muP_factor, require=(impl == "pallas"),
             )
             if fused is not None:
                 return fused
+        extra = relattn_bias(R, self.b_nd, k.shape[2]) if R is not None else None
         return windowed_attention(q, k, v, mask, extra, self.use_muP_factor)
 
 

@@ -1,19 +1,9 @@
-"""Fused Pallas TPU kernel for clipped-causal windowed attention.
+"""Dispatch boundary for the fused Pallas windowed-attention kernel.
 
-Dispatch entry: ``maybe_fused_windowed_attention`` — returns None when the
-shape/platform isn't covered, in which case the caller falls back to the XLA
-path in vpt_tpu/ops/attention.py (same math, same results).
-
-Kernel design (see /opt/skills/guides/pallas_guide.md): the VPT window is
-tiny — T = t + maxlen = 256 keys at d_head 128 — so one (head, batch) program
-instance keeps Q, K, V, and the (t, T) logits tile entirely in VMEM, computes
-float32 logits on the MXU, adds the band/relative bias from iota arithmetic
-(never materializing masks in HBM), softmaxes on the VPU, and hits the MXU
-again for the value contraction.  This removes the HBM round-trips XLA would
-spend on the mask / extra-bias tensors.
-
-Implemented in a later milestone of round 1; the stub keeps the dispatch
-boundary stable.
+``maybe_fused_windowed_attention`` returns None when the shape/platform isn't
+covered, in which case the caller falls back to the XLA path in
+vpt_tpu/ops/attention.py (same math, same results).  See
+vpt_tpu/ops/pallas_attention_impl.py for the kernel.
 """
 
 from __future__ import annotations
@@ -22,21 +12,25 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-_PALLAS_ENABLED = True
-
 
 def maybe_fused_windowed_attention(
     q_bhtd: jnp.ndarray,
     k_bhTd: jnp.ndarray,
     v_bhTd: jnp.ndarray,
-    mask_btT: Optional[jnp.ndarray],
-    extra_bhtT: Optional[jnp.ndarray],
+    mask_btT,
+    rel_R_bhtn,
+    rel_b_nd,
     use_muP_factor: bool,
     require: bool = False,
 ) -> Optional[jnp.ndarray]:
-    """Fused attention when supported, else None (caller falls back to XLA)."""
+    """Fused attention when supported, else None (caller falls back to XLA).
+
+    Unlike the XLA path — which takes a precomputed (B,H,t,T) ``extra`` bias —
+    this takes the raw relattn inputs (R coefficients + b_nd band table) so the
+    kernel can form the bias on-chip without materializing it in HBM.
+    """
     from vpt_tpu.ops import pallas_attention_impl
 
     return pallas_attention_impl.dispatch(
-        q_bhtd, k_bhTd, v_bhTd, mask_btT, extra_bhtT, use_muP_factor, require
+        q_bhtd, k_bhTd, v_bhTd, mask_btT, rel_R_bhtn, rel_b_nd, use_muP_factor, require
     )

@@ -1,14 +1,148 @@
-"""Placeholder dispatch for the fused Pallas attention kernel.
+"""Fused Pallas TPU kernel for VPT's windowed attention.
 
-Returns None (XLA fallback) until the kernel lands; keeping this separate from
-the dispatch wrapper lets tests monkeypatch/force either path.
+One grid cell = one (batch, head).  The whole window fits VMEM comfortably
+(T = t + maxlen = 256 keys at d_head 128 → Q/K/V ≈ 384 KB f32), so the kernel:
+
+  1. computes float32 logits ``alpha·QKᵀ`` on the MXU;
+  2. adds the learned relative-position bias *in-kernel* from the per-query
+     basis coefficients R (B,H,t,n) and the banded table D (n,t,T) — the XLA
+     path would materialize the (B,H,t,T) float32 bias in HBM (16 MB at the
+     training shape) before a separate attention op;
+  3. adds the clipped-causal mask bias (B,t,T), shared across heads;
+  4. runs a float32 softmax on the VPU and hits the MXU again for ``W·V``.
+
+The backward pass recomputes through the XLA reference implementation
+(vpt_tpu.ops.attention.windowed_attention) via custom_vjp — same math, so
+gradients are exact; the fused kernel accelerates the forward/rollout path.
+
+Shapes covered: t ≥ 8 and t % 8 == 0, d % 128 == 0, T arbitrary (padded to
+a lane multiple internally by Mosaic).  The t = 1 decode step stays on XLA —
+it is bandwidth-trivial and below the f32 sublane tile.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vpt_tpu.ops.attention import windowed_attention
+from vpt_tpu.ops.rel_bias import banded_bias_matrix
+
+NEG_BIAS = -1e9
+INTERPRET = False  # flipped by tests to validate on CPU
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, r_ref, d_ref, mb_ref, o_ref, *, alpha, nbasis, has_rel, has_mask):
+    q = q_ref[0, 0].astype(jnp.float32)  # (t, d)
+    k = k_ref[0, 0].astype(jnp.float32)  # (T, d)
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * alpha  # (t, T)
+    if has_rel:
+        r = r_ref[0, 0].astype(jnp.float32)  # (t, nbasis)
+        for n in range(nbasis):  # nbasis=10: cheap VPU fmas on the (t, T) tile
+            logits += r[:, n][:, None] * d_ref[n]
+    if has_mask:
+        logits += mb_ref[0]  # (t, T) float32 mask bias (0 or -1e9)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    w = jnp.exp(logits - m)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    v = v_ref[0, 0]
+    o_ref[0, 0] = jax.lax.dot_general(
+        w.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _fused_forward(q, k, v, maskbias, R, D, use_muP_factor):
+    B, H, t, d = q.shape
+    T = k.shape[2]
+    alpha = (1.0 / d) if use_muP_factor else float(1.0 / np.sqrt(d))
+    has_rel = R is not None
+    has_mask = maskbias is not None
+    nbasis = R.shape[-1] if has_rel else 0
+
+    # dummies keep the pallas signature static when a feature is off
+    if not has_rel:
+        R = jnp.zeros((B, H, t, 1), jnp.float32)
+        D = jnp.zeros((1, t, T), jnp.float32)
+    if not has_mask:
+        maskbias = jnp.zeros((1, t, T), jnp.float32)
+
+    grid = (B, H)
+    kernel = functools.partial(
+        _attn_kernel, alpha=alpha, nbasis=nbasis, has_rel=has_rel, has_mask=has_mask
+    )
+    flops = 2 * B * H * t * T * d * 2 + B * H * t * T * nbasis * 2
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, t, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, t, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, max(nbasis, 1)), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(nbasis, 1), t, T), lambda b, h: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, t, T),
+                (lambda b, h: (b, 0, 0)) if maskbias.shape[0] != 1 else (lambda b, h: (0, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t, d), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=q.size * 4 * 4,
+            transcendentals=B * H * t * T,
+        ),
+        interpret=INTERPRET,
+    )(q, k, v, R, D, maskbias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_attention(q, k, v, maskbias, R, b_nd, use_muP_factor):
+    t, T = q.shape[2], k.shape[2]
+    D = banded_bias_matrix(b_nd.astype(jnp.float32), t, T) if R is not None else None
+    return _fused_forward(q, k, v, maskbias, R, D, use_muP_factor)
+
+
+def _xla_equivalent(q, k, v, maskbias, R, b_nd, use_muP_factor):
+    t, T = q.shape[2], k.shape[2]
+    extra = None
+    if R is not None:
+        D = banded_bias_matrix(b_nd.astype(jnp.float32), t, T)
+        extra = jnp.einsum("bhtn,ntT->bhtT", R.astype(jnp.float32), D)
+    if maskbias is not None:
+        mb = maskbias if maskbias.shape[0] != 1 else maskbias
+        extra = mb[:, None] if extra is None else extra + mb[:, None]
+    return windowed_attention(q, k, v, None, extra, use_muP_factor)
+
+
+def _fwd(q, k, v, maskbias, R, b_nd, use_muP_factor):
+    out = _fused_attention(q, k, v, maskbias, R, b_nd, use_muP_factor)
+    return out, (q, k, v, maskbias, R, b_nd)
+
+
+def _bwd(use_muP_factor, residuals, g):
+    q, k, v, maskbias, R, b_nd = residuals
+    _, vjp = jax.vjp(
+        lambda q, k, v, R, b_nd: _xla_equivalent(q, k, v, maskbias, R, b_nd, use_muP_factor),
+        q, k, v, R, b_nd,
+    )
+    dq, dk, dv, dR, db = vjp(g)
+    return dq, dk, dv, None, dR, db
+
+
+_fused_attention.defvjp(_fwd, _bwd)
 
 
 def dispatch(
@@ -16,10 +150,24 @@ def dispatch(
     k_bhTd: jnp.ndarray,
     v_bhTd: jnp.ndarray,
     mask_btT,
-    extra_bhtT,
+    rel_R_bhtn,
+    rel_b_nd,
     use_muP_factor: bool,
-    require: bool,
+    require: bool = False,
 ) -> Optional[jnp.ndarray]:
-    if require:
-        raise NotImplementedError("pallas attention kernel not yet available")
-    return None
+    """Fused attention when shape/platform allow, else None (XLA fallback)."""
+    B, H, t, d = q_bhtd.shape
+    supported = (t >= 8 and t % 8 == 0 and d % 128 == 0)
+    if not INTERPRET:
+        platform = jax.devices()[0].platform if jax.devices() else "cpu"
+        supported = supported and platform == "tpu"
+    if not supported:
+        if require:
+            raise NotImplementedError(
+                f"pallas attention unsupported for shape t={t}, d={d} on this platform"
+            )
+        return None
+    maskbias = None
+    if mask_btT is not None:
+        maskbias = jnp.where(mask_btT, 0.0, NEG_BIAS).astype(jnp.float32)
+    return _fused_attention(q_bhtd, k_bhTd, v_bhTd, maskbias, rel_R_bhtn, rel_b_nd, use_muP_factor)
