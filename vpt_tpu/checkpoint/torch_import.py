@@ -216,7 +216,7 @@ def variables_to_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
         for keypath, value in flat:
             segs = [k.key if hasattr(k, "key") else str(k) for k in keypath]
             leaf = segs[-1]
-            value = np.asarray(value)
+            value = np.array(value)  # owned, writable copy (torch.from_numpy-safe)
             torch_leaf, torch_value = _from_flax_leaf(leaf, value)
             body = []
             for s in segs[:-1]:
