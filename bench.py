@@ -78,6 +78,66 @@ def bench_tpu(n_streams: int = N_STREAMS, compute_dtype: str = "bfloat16") -> fl
     return n_streams * MEASURE_STEPS / dt
 
 
+IDM_4X_KWARGS = dict(
+    # representative 4x-width IDM architecture (the published checkpoint ships
+    # its own kwargs in 4x_idm.model; this mirrors the documented scaling:
+    # 4x the 1x policy's hidsize/impala width, Conv3D front end, bidirectional)
+    hidsize=4096,
+    impala_width=16,
+    impala_chans=[16, 32, 32],
+    img_shape=[128, 128, 3],
+    init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+    impala_kwargs={"post_pool_groups": 1},
+    n_recurrence_layers=4,
+    timesteps=128,
+    attention_heads=32,
+    attention_memory_size=256,
+    recurrence_type="transformer",
+    attention_mask_style="none",
+    conv3d_params={"inchan": 3, "outchan": 128, "kernel_size": [5, 1, 1], "padding": [2, 0, 0]},
+    use_pre_lstm_ln=False,
+)
+
+
+def bench_idm(window: int = 128, n_windows: int = 4, compute_dtype: str = "bfloat16") -> float:
+    """IDM labeling throughput: frames/sec for 128-frame-window batches
+    (BASELINE.json config #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vpt_tpu.actions.mapping import IDMActionMapping
+    from vpt_tpu.config import PolicyConfig
+    from vpt_tpu.models.heads import dict_sample, head_specs_from_space
+    from vpt_tpu.models.policy import InverseActionPolicy, policy_initial_state
+    from vpt_tpu.spaces import DictType
+
+    cfg = PolicyConfig.from_kwargs(IDM_4X_KWARGS).replace(compute_dtype=compute_dtype)
+    mapper = IDMActionMapping(n_camera_bins=11)
+    specs = head_specs_from_space(DictType(**mapper.get_action_space_update()))
+    model = InverseActionPolicy(cfg=cfg, head_specs=specs, temperature=1.0)
+
+    img = jnp.zeros((1, window, 128, 128, 3), jnp.uint8)
+    first = jnp.zeros((1, window), bool)
+    state = policy_initial_state(cfg, 1)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, first, state)
+
+    @jax.jit
+    def label(variables, img, state):
+        out, state = model.apply(variables, img, first, state)
+        return dict_sample(jax.random.PRNGKey(0), out["pi_logits"], specs, deterministic=True), state
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (1, window, 128, 128, 3), dtype=np.uint8))
+    action, state = label(variables, frames, state)
+    np.asarray(action["buttons"])
+    t0 = time.perf_counter()
+    for _ in range(n_windows):
+        action, state = label(variables, frames, state)
+    np.asarray(action["buttons"])
+    dt = time.perf_counter() - t0
+    return window * n_windows / dt
+
+
 def bench_torch_baseline(n_streams: int = N_STREAMS) -> float:
     """Same architecture, reference framework (torch), available hardware (CPU)."""
     from bench_torch_ref import measure_policy_step_fps
@@ -90,7 +150,18 @@ def main():
     ap.add_argument("--streams", type=int, default=N_STREAMS)
     ap.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--remeasure-baseline", action="store_true")
+    ap.add_argument("--metric", default="rollout", choices=["rollout", "idm"])
     args = ap.parse_args()
+
+    if args.metric == "idm":
+        fps = bench_idm(compute_dtype=args.compute_dtype)
+        print(json.dumps({
+            "metric": "4x IDM labeling throughput, 128-frame windows",
+            "value": round(fps, 2),
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
 
     fps = bench_tpu(n_streams=args.streams, compute_dtype=args.compute_dtype)
 

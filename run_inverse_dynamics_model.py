@@ -23,7 +23,8 @@ from vpt_tpu.data.video import VideoReader
 REQUIRED_RESOLUTION = (640, 360)
 
 
-def main(model, weights, video_path, json_path, n_batches, n_frames, out=None, strict_resolution=True):
+def main(model, weights, video_path, json_path, n_batches, n_frames, out=None,
+         out_video=None, strict_resolution=True):
     agent_parameters_pair = load_model_parameters(model)
     net_kwargs, pi_head_kwargs = agent_parameters_pair
     agent = IDMAgent(idm_net_kwargs=net_kwargs, pi_head_kwargs=pi_head_kwargs)
@@ -32,6 +33,7 @@ def main(model, weights, video_path, json_path, n_batches, n_frames, out=None, s
     json_data = _load_jsonl(json_path) if json_path else None
     json_index = 0
     out_f = open(out, "w") if out else None
+    writer = None
 
     import time
 
@@ -68,6 +70,15 @@ def main(model, weights, video_path, json_path, n_batches, n_frames, out=None, s
                 }
                 if out_f:
                     out_f.write(json.dumps({"frame": total_frames - len(frames) + i, "action": row}) + "\n")
+                if out_video:
+                    from vpt_tpu.data.annotate import action_rows, annotate_frame
+                    from vpt_tpu.data.video import VideoWriter
+
+                    if writer is None:
+                        writer = VideoWriter(out_video, frames.shape[2], frames.shape[1], fps=20)
+                    rec = recorded_actions[i] if i < len(recorded_actions) else None
+                    pred_i = {k: np.asarray(v[0, i]) for k, v in predicted_actions.items()}
+                    writer.write(annotate_frame(frames[i], action_rows(pred_i, rec)))
                 if i < 3:  # terminal preview
                     rec = recorded_actions[i] if i < len(recorded_actions) else {}
                     pressed = [k for k, v in row.items() if k != "camera" and v == 1]
@@ -81,6 +92,8 @@ def main(model, weights, video_path, json_path, n_batches, n_frames, out=None, s
             print(f"Labeled {total_frames} frames in {dt:.2f}s → {total_frames / dt:.1f} frames/sec")
     if out_f:
         out_f.close()
+    if writer is not None:
+        writer.close()
 
 
 if __name__ == "__main__":
@@ -93,12 +106,13 @@ if __name__ == "__main__":
     parser.add_argument("--n-frames", type=int, default=128, help="Number of frames to process at a time.")
     parser.add_argument("--n-batches", type=int, default=10, help="Number of batches (n-frames) to process for visualization.")
     parser.add_argument("--out", type=str, default=None, help="Write predicted actions to this JSONL file.")
+    parser.add_argument("--out-video", type=str, default=None, help="Write an annotated prediction video here.")
     parser.add_argument("--no-strict-resolution", action="store_true", help="Accept videos that are not 640x360.")
 
     args = parser.parse_args()
 
     main(
         args.model, args.weights, args.video_path, args.jsonl_path,
-        args.n_batches, args.n_frames, out=args.out,
+        args.n_batches, args.n_frames, out=args.out, out_video=args.out_video,
         strict_resolution=not args.no_strict_resolution,
     )

@@ -135,7 +135,9 @@ class MineRLAgent:
             action = dict_sample(sub, logits, specs, deterministic=not stochastic)
             return action, out["vpred"][:, -1], state, key
 
-        return jax.jit(step, static_argnames=("stochastic",))
+        # donate the recurrent state: the KV caches update in place instead of
+        # being copied every step (4 blocks × 2 × (B, maxlen, hid) per policy)
+        return jax.jit(step, static_argnames=("stochastic",), donate_argnums=(3,))
 
     def _ensure_variables(self):
         if self.variables is None:

@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <cstdlib>
 #include <algorithm>
 
 extern "C" {
@@ -26,7 +27,14 @@ extern "C" {
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
+#include <libavutil/log.h>
 #include <libswscale/swscale.h>
+}
+
+// Quiet libav's per-encode stderr chatter (callers see real errors via
+// return codes); VPT_AV_VERBOSE=1 restores it for debugging.
+__attribute__((constructor)) static void vpt_host_init() {
+    if (!getenv("VPT_AV_VERBOSE")) av_log_set_level(AV_LOG_ERROR);
 }
 
 // ---------------------------------------------------------------------------
