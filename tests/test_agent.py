@@ -100,6 +100,23 @@ def test_batched_rollout_streams():
     assert len(actions2) == 3
 
 
+def test_resize_on_device_mode():
+    agent = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs=PI_KWARGS,
+                        batch_size=2, resize_on_device=True)
+    obs = [_obs(seed=i) for i in range(2)]
+    actions = agent.get_action(obs, stochastic=False)
+    assert len(actions) == 2 and actions[0]["camera"].shape == (2,)
+    # host-resize agent on the same weights agrees on the deterministic action
+    # for a clearly non-tied input (both resizers are ≤1 LSB apart)
+    host = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs=PI_KWARGS, batch_size=2)
+    host._ensure_variables()
+    agent._ensure_variables()
+    host.variables = agent.variables
+    a2 = host.get_action(obs, stochastic=False)
+    same = sum(int(np.array_equal(actions[i]["camera"], a2[i]["camera"])) for i in range(2))
+    assert same >= 1  # allow one near-tie flip
+
+
 def test_weights_round_trip_through_agent(agent, tmp_path):
     from vpt_tpu.checkpoint import save_weights
 

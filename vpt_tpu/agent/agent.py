@@ -87,6 +87,10 @@ class MineRLAgent:
     :param pi_head_kwargs: e.g. {"temperature": 2.0}
     :param batch_size: number of parallel env streams sharing this agent
     :param compute_dtype: "float32" (parity) or "bfloat16" (TPU throughput)
+    :param resize_on_device: resize raw env frames inside the jitted step
+        (float bilinear, ≤1 intensity step from the cv2-exact host path).
+        Essential when the host can't keep up — this image has ONE cpu core,
+        capping host-side resize at ~5k frames/sec while the chip serves ~7k.
     """
 
     def __init__(
@@ -98,7 +102,9 @@ class MineRLAgent:
         batch_size: int = 1,
         seed: int = 0,
         compute_dtype: str = "float32",
+        resize_on_device: bool = False,
     ):
+        self.resize_on_device = resize_on_device
         if env is not None:
             validate_env(env)
         self.batch_size = batch_size
@@ -122,13 +128,25 @@ class MineRLAgent:
         self.variables = None
         self.hidden_state = policy_initial_state(self.cfg, batch_size)
         self._step = self._build_step()
+        self._resize_pool = None
+        if batch_size > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # the native resize releases the GIL → real parallelism
+            self._resize_pool = ThreadPoolExecutor(max_workers=min(16, batch_size))
 
     # ------------------------------------------------------------------ setup
 
     def _build_step(self):
         policy, specs = self.policy, self.head_specs
+        resolution = self._resolution
+        on_device = self.resize_on_device
 
         def step(variables, img, first, state, key, stochastic):
+            if on_device:
+                from vpt_tpu.ops.resize import resize_bilinear_jnp
+
+                img = resize_bilinear_jnp(img, resolution)
             out, state = policy.apply(variables, img, first, state)
             logits = jax.tree.map(lambda x: x[:, -1], out["pi_logits"])
             key, sub = jax.random.split(key)
@@ -166,9 +184,22 @@ class MineRLAgent:
     # ------------------------------------------------------------ conversions
 
     def _env_obs_to_agent(self, minerl_obs) -> np.ndarray:
-        """(batched) env obs → (B, 1, 128, 128, 3) uint8 frames."""
+        """(batched) env obs → (B, 1, 128, 128, 3) uint8 frames.
+
+        Resizing runs through the native C++ kernel (cv2-bit-exact), threaded
+        across streams — the numpy path alone (≈1.4 ms/frame) would bottleneck
+        the 64-stream device step."""
+        from vpt_tpu.data.video import native_resize_u8
+
         povs = minerl_obs if isinstance(minerl_obs, list) else [minerl_obs]
-        frames = [resize_image(o["pov"], self._resolution) for o in povs]
+        if self.resize_on_device:
+            return np.stack([o["pov"] for o in povs])[:, None]
+        if self._resize_pool is not None and len(povs) > 1:
+            frames = list(
+                self._resize_pool.map(lambda o: native_resize_u8(o["pov"], self._resolution), povs)
+            )
+        else:
+            frames = [native_resize_u8(o["pov"], self._resolution) for o in povs]
         return np.stack(frames)[:, None]
 
     def _agent_action_to_env(self, agent_action) -> Dict[str, np.ndarray]:

@@ -25,6 +25,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> bool:
+    """Initialize jax.distributed for multi-host meshes when the standard env
+    vars are present (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID, or a
+    TPU pod environment jax can auto-detect).  Safe no-op on a single host.
+    After this, ``jax.devices()`` spans all hosts and ``make_mesh`` builds a
+    global mesh whose dp axis crosses DCN while tp stays within a slice."""
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    coord = os.environ.get("COORDINATOR_ADDRESS")
+    nproc = os.environ.get("NUM_PROCESSES")
+    pid = os.environ.get("PROCESS_ID")
+    if coord and nproc and pid:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+        return True
+    return False
+
+
 def make_mesh(n_dp: Optional[int] = None, n_tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
     """Mesh over the available devices: (dp, tp), tp innermost so tensor
     shards ride the fastest ICI links."""

@@ -222,6 +222,22 @@ class BCTrainer:
             seed=self._seed,
             start_trajectory=start_traj,
         )
+
+        # Preemption safety: SIGTERM/SIGINT triggers a final checkpoint before
+        # exit (TPU pods get preempted; the reference loses all progress).
+        import signal
+
+        stop_requested = {"flag": False}
+
+        def _request_stop(signum, frame):
+            stop_requested["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # non-main thread
+                pass
         state = self.initial_state(hp.batch_size)
         # reset stream state when its episode changes
         last_episode = np.full(hp.batch_size, -1, np.int64)
@@ -247,7 +263,12 @@ class BCTrainer:
                         wall_time=dt,
                     )
                     loss_sum = 0.0
-                if hp.checkpoint_every and self.step_count % hp.checkpoint_every == 0 and hp.checkpoint_dir:
+                checkpoint_now = (
+                    hp.checkpoint_every
+                    and self.step_count % hp.checkpoint_every == 0
+                    and hp.checkpoint_dir
+                )
+                if checkpoint_now or (stop_requested["flag"] and hp.checkpoint_dir):
                     native_ckpt.save_checkpoint(
                         hp.checkpoint_dir,
                         self.step_count,
@@ -255,7 +276,12 @@ class BCTrainer:
                         opt_state=jax.tree.map(np.asarray, self.opt_state),
                         data_state={**loader.state(), "step_count": self.step_count},
                     )
+                if stop_requested["flag"]:
+                    metrics.log(event="preempted", step=self.step_count)
+                    break
         finally:
             loader.close()
+            for sig, handler in old_handlers.items():
+                signal.signal(sig, handler)
         save_weights(out_weights, jax.tree.map(np.asarray, self.variables))
         return self.step_count
