@@ -47,7 +47,7 @@ def bench_tpu(n_streams: int = N_STREAMS, compute_dtype: str = "bfloat16") -> fl
 
     img = jnp.zeros((n_streams, 1, 128, 128, 3), jnp.uint8)
     first = jnp.zeros((n_streams, 1), bool)
-    state = policy_initial_state(cfg, n_streams)
+    state = policy_initial_state(cfg, n_streams, ring=True)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, first, state)
 
     @jax.jit

@@ -103,8 +103,12 @@ class MineRLAgent:
         seed: int = 0,
         compute_dtype: str = "float32",
         resize_on_device: bool = False,
+        ring_cache: bool = True,
     ):
         self.resize_on_device = resize_on_device
+        # rotating decode cache: one slot written per step instead of a full
+        # cache shift (numerically equivalent; see tests/test_ring_cache.py)
+        self.ring_cache = ring_cache
         if env is not None:
             validate_env(env)
         self.batch_size = batch_size
@@ -126,7 +130,7 @@ class MineRLAgent:
         self._resolution = (self.cfg.img_shape[1], self.cfg.img_shape[0])
         self._rng = jax.random.PRNGKey(seed)
         self.variables = None
-        self.hidden_state = policy_initial_state(self.cfg, batch_size)
+        self.hidden_state = policy_initial_state(self.cfg, batch_size, ring=ring_cache)
         self._step = self._build_step()
         self._resize_pool = None
         if batch_size > 1:
@@ -179,7 +183,7 @@ class MineRLAgent:
 
     def reset(self) -> None:
         """Reset recurrent state for all streams (reference: agent.py:137-139)."""
-        self.hidden_state = policy_initial_state(self.cfg, self.batch_size)
+        self.hidden_state = policy_initial_state(self.cfg, self.batch_size, ring=self.ring_cache)
 
     # ------------------------------------------------------------ conversions
 

@@ -274,18 +274,26 @@ class InverseActionPolicy(nn.Module):
         return {"pi_logits": self.pi_head(latent, mask=action_mask)}, state_out
 
 
-def policy_initial_state(cfg: PolicyConfig, batchsize: int):
+def policy_initial_state(cfg: PolicyConfig, batchsize: int, ring: bool = False):
     """Initial recurrent state for a policy/IDM config — a pure function of the
     config so callers never need a live module (reference: policy.py:220-224
-    routes through module instances instead)."""
-    from vpt_tpu.models.transformer import masked_attention_initial_state
+    routes through module instances instead).
+
+    ``ring=True`` returns the rotating-cache decode state (single-step
+    inference only; one slot written per step instead of a full-cache shift).
+    """
+    from vpt_tpu.models.transformer import (
+        masked_attention_initial_state,
+        ring_initial_state,
+    )
 
     if cfg.recurrence_type == "none":
         return None
     dtype = _compute_dtype(cfg)
     if cfg.recurrence_type == "transformer":
+        make = ring_initial_state if ring else masked_attention_initial_state
         return [
-            masked_attention_initial_state(batchsize, cfg.maxlen, cfg.hidsize, dtype)
+            make(batchsize, cfg.maxlen, cfg.hidsize, dtype)
             for _ in range(cfg.n_recurrence_layers)
         ]
     return [

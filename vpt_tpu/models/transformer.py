@@ -126,6 +126,48 @@ class SelfAttentionLayer(nn.Module):
         extra = relattn_bias(R, self.b_nd, k.shape[2]) if R is not None else None
         return windowed_attention(q, k, v, mask, extra, self.use_muP_factor)
 
+    def ring_step(self, x_b1e, k_ring, v_ring, idx, valid_bM):
+        """Single-step decode against a rotating cache.
+
+        The new K/V are written into slot ``idx`` (one dynamic-slice write per
+        step instead of shift-rewriting the whole cache); attention then runs
+        over all ``maxlen`` slots, with slot ages ``(idx - s) mod maxlen``
+        driving the relative-position bias and ``valid_bM`` masking unwritten /
+        pre-reset slots.  Numerically identical to the linear concat+slice
+        path (the linear path's oldest column is band-masked anyway, so both
+        attend to: current step + the maxlen-1 most recent valid steps).
+
+        :returns: (out_b1e, k_ring, v_ring, valid) with slot idx now valid.
+        """
+        X = self.ln_x(x_b1e) if self.norm == "layer" else x_b1e
+        Q = self.q_layer(X)
+        K = self.k_layer(X)
+        V = self.v_layer(X)
+        maxlen = self.maxlen
+        k_ring = jax.lax.dynamic_update_slice_in_dim(k_ring, K.astype(k_ring.dtype), idx, axis=1)
+        v_ring = jax.lax.dynamic_update_slice_in_dim(v_ring, V.astype(v_ring.dtype), idx, axis=1)
+        valid = valid_bM.at[:, idx].set(True)
+
+        ages = (idx - jnp.arange(maxlen, dtype=jnp.int32)) % maxlen  # (M,)
+        qh = split_heads(Q, self.heads)            # (B, H, 1, d)
+        kh = split_heads(k_ring, self.heads)       # (B, H, M, d)
+        vh = split_heads(v_ring, self.heads)
+        d = qh.shape[-1]
+        alpha = (1.0 / d) if self.use_muP_factor else (1.0 / jnp.sqrt(jnp.float32(d)))
+        logits = jnp.einsum(
+            "bhtd,bhMd->bhtM", qh.astype(jnp.float32), kh.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) * jnp.float32(alpha)
+        if self.relattn:
+            R = split_heads(self.r_layer(X).astype(jnp.float32), self.heads)  # (B,H,1,n)
+            D = self.b_nd.astype(jnp.float32)[:, ages]  # (n, M) bias by slot age
+            logits = logits + jnp.einsum("bhtn,nM->bhtM", R, D)
+        logits = logits + jnp.where(valid[:, None, None, :], 0.0, -1e9).astype(jnp.float32)
+        w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+        A = jnp.einsum("bhtM,bhMd->bhtd", w, vh)
+        out = self.proj_layer(merge_heads(A))
+        return X + out, k_ring, v_ring, valid
+
 
 class MaskedAttention(nn.Module):
     """Windowed attention + episode-boundary masking (reference:
@@ -163,6 +205,20 @@ class MaskedAttention(nn.Module):
 
     def __call__(self, x_bte: jnp.ndarray, first_bt: jnp.ndarray, state: Dict[str, jnp.ndarray]):
         t = x_bte.shape[1]
+        if "idx" in state:
+            assert t == 1 and self.mask_style == "clipped_causal", (
+                "ring cache supports single-step clipped_causal decode only"
+            )
+            valid = state["state_mask"] & ~first_bt[:, 0:1].astype(bool)
+            out, new_k, new_v, new_valid = self.orc_block.ring_step(
+                x_bte, state["k"], state["v"], state["idx"], valid
+            )
+            return out, {
+                "state_mask": new_valid,
+                "k": new_k,
+                "v": new_v,
+                "idx": (state["idx"] + 1) % self.maxlen,
+            }
         mask = None
         new_state_mask = state["state_mask"]
         if self.mask_style == "clipped_causal":
@@ -185,6 +241,16 @@ def masked_attention_initial_state(batchsize: int, maxlen: int, input_size: int,
         "k": jnp.zeros((batchsize, maxlen, input_size), dtype),
         "v": jnp.zeros((batchsize, maxlen, input_size), dtype),
     }
+
+
+def ring_initial_state(batchsize: int, maxlen: int, input_size: int, dtype) -> Dict[str, jnp.ndarray]:
+    """Ring-buffer variant of the decode state: the cache is written one slot
+    per step (``idx`` rotates) instead of shift-rewriting the whole buffer —
+    the linear cache's concat+slice moves 2·B·maxlen·E bytes per block per
+    step, the ring moves 2·B·E."""
+    state = masked_attention_initial_state(batchsize, maxlen, input_size, dtype)
+    state["idx"] = jnp.zeros((), jnp.int32)
+    return state
 
 
 class ResidualRecurrentBlock(nn.Module):
