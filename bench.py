@@ -138,6 +138,40 @@ def bench_idm(window: int = 128, n_windows: int = 4, compute_dtype: str = "bfloa
     return window * n_windows / dt
 
 
+def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
+                   compute_dtype: str = "bfloat16") -> float:
+    """Sequence-chunked BC training throughput (frames/sec) for the 1x-width
+    foundation architecture (BASELINE.json config #4's compute core)."""
+    import jax
+
+    from vpt_tpu.config import FOUNDATION_POLICY_KWARGS
+    from vpt_tpu.parallel.mesh import make_mesh
+    from vpt_tpu.training.bc import BCHyperparams, BCTrainer
+
+    kwargs = dict(FOUNDATION_POLICY_KWARGS, hidsize=1024, impala_width=4)  # 1x width
+    hp = BCHyperparams(batch_size=batch, chunk_len=chunk)
+    trainer = BCTrainer(kwargs, {"temperature": 2.0}, hp=hp,
+                        mesh=make_mesh(), compute_dtype=compute_dtype, remat=True)
+    trainer.init()
+    rng = np.random.default_rng(0)
+    b = {
+        "frames": rng.integers(0, 255, (batch, chunk, 128, 128, 3), dtype=np.uint8),
+        "buttons": rng.integers(0, 8641, (batch, chunk)).astype(np.int32),
+        "camera": rng.integers(0, 121, (batch, chunk)).astype(np.int32),
+        "firsts": np.zeros((batch, chunk), bool),
+        "mask": np.ones((batch, chunk), bool),
+    }
+    state = trainer.initial_state(batch)
+    state, loss, _ = trainer.train_step(b, state)  # compile
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss, _ = trainer.train_step(b, state)
+    float(loss)  # force completion
+    dt = time.perf_counter() - t0
+    return batch * chunk * steps / dt
+
+
 def bench_torch_baseline(n_streams: int = N_STREAMS) -> float:
     """Same architecture, reference framework (torch), available hardware (CPU)."""
     from bench_torch_ref import measure_policy_step_fps
@@ -150,8 +184,18 @@ def main():
     ap.add_argument("--streams", type=int, default=N_STREAMS)
     ap.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--remeasure-baseline", action="store_true")
-    ap.add_argument("--metric", default="rollout", choices=["rollout", "idm"])
+    ap.add_argument("--metric", default="rollout", choices=["rollout", "idm", "bc"])
     args = ap.parse_args()
+
+    if args.metric == "bc":
+        fps = bench_bc_train(compute_dtype=args.compute_dtype)
+        print(json.dumps({
+            "metric": "1x BC training throughput, sequence-chunked DP",
+            "value": round(fps, 2),
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
 
     if args.metric == "idm":
         fps = bench_idm(compute_dtype=args.compute_dtype)

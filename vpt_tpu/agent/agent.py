@@ -25,7 +25,6 @@ from vpt_tpu.config import (
 )
 from vpt_tpu.models.heads import dict_sample, head_specs_from_space
 from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
-from vpt_tpu.ops.resize import resize_image
 from vpt_tpu.spaces import DictType
 from vpt_tpu.checkpoint import load_weights, state_dict_to_variables
 
@@ -243,9 +242,16 @@ class MineRLAgent:
             self.variables, jnp.asarray(img), jnp.asarray(first), self.hidden_state,
             self._rng, stochastic,
         )
+        self._last_vpred = np.asarray(vpred)
         env_action = self._agent_action_to_env(jax.tree.map(np.asarray, action))
         if isinstance(minerl_obs, list):
             return [
                 {k: v[i] for k, v in env_action.items()} for i in range(b)
             ]
         return {k: v[0] for k, v in env_action.items()}
+
+    def predict_value(self, minerl_obs, first: Optional[np.ndarray] = None) -> np.ndarray:
+        """Value estimate for the given observation(s) — the reference's
+        MinecraftAgentPolicy.v (policy.py:330-339).  Advances hidden state."""
+        self.get_action(minerl_obs, first=first, stochastic=True)
+        return self._last_vpred[:, 0] if self.batch_size > 1 else float(self._last_vpred[0, 0])

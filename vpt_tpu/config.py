@@ -61,6 +61,10 @@ class PolicyConfig:
     # IDM-only: 3D conv front end (reference: lib/policy.py:342-372)
     conv3d_params: Optional[Dict[str, Any]] = None
 
+    # Rematerialization: recompute block/CNN activations in the backward pass
+    # (trades FLOPs for memory; needed for full-size T=128 training chunks).
+    remat: bool = False
+
     # Compute precision ("float32" for bit-parity, "bfloat16" for TPU throughput).
     # Parameters are always stored float32; attention logits/softmax, layernorms
     # and head log-softmax stay float32 regardless (reference keeps everything

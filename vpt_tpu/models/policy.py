@@ -121,6 +121,7 @@ class MinecraftPolicy(nn.Module):
             attention_memory_size=cfg.attention_memory_size,
             attention_mask_style=cfg.attention_mask_style,
             dtype=dtype,
+            remat=cfg.remat,
         ) if cfg.recurrence_type != "none" else None
         self.lastlayer = FanInInitLayer(
             outchan=cfg.hidsize,
@@ -230,6 +231,7 @@ class InverseActionNet(nn.Module):
             attention_memory_size=cfg.attention_memory_size,
             attention_mask_style=cfg.attention_mask_style,
             dtype=dtype,
+            remat=cfg.remat,
         )
         self.lastlayer = FanInInitLayer(
             outchan=cfg.hidsize,

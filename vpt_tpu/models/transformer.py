@@ -379,11 +379,13 @@ class ResidualRecurrentBlocks(nn.Module):
     attention_mask_style: str = "clipped_causal"
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    remat: bool = False
 
     def setup(self):
         init_scale = self.n_block ** -0.5 if self.is_residual else 1.0
+        block_cls = nn.remat(ResidualRecurrentBlock, static_argnums=(4,)) if self.remat else ResidualRecurrentBlock
         self.blocks = [
-            ResidualRecurrentBlock(
+            block_cls(
                 hidsize=self.hidsize,
                 timesteps=self.timesteps,
                 init_scale=init_scale,
@@ -410,7 +412,7 @@ class ResidualRecurrentBlocks(nn.Module):
             reverse = (
                 self.recurrence_type == "multi_layer_bilstm" and (i + 1) % 2 == 0
             )
-            x, s = block(x, first, state[i], reverse_lstm=reverse)
+            x, s = block(x, first, state[i], reverse)
             state_out.append(s)
         return x, state_out
 

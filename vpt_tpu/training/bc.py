@@ -75,12 +75,13 @@ class BCTrainer:
         hp: Optional[BCHyperparams] = None,
         mesh=None,
         compute_dtype: str = "float32",
+        remat: bool = False,
         seed: int = 0,
     ):
         self.hp = hp or BCHyperparams()
         self.mesh = mesh if mesh is not None else make_mesh()
         self.cfg = PolicyConfig.from_kwargs(dict(policy_kwargs)).replace(
-            compute_dtype=compute_dtype
+            compute_dtype=compute_dtype, remat=remat
         )
         self.temperature = float(pi_head_kwargs.get("temperature", 1.0))
         self.action_mapper = CameraHierarchicalMapping(n_camera_bins=11)
