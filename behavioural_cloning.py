@@ -16,7 +16,7 @@ from vpt_tpu.training.bc import BCHyperparams, BCTrainer
 def behavioural_cloning_train(data_dir, in_model, in_weights, out_weights,
                               batch_size=8, chunk_len=128, epochs=2,
                               checkpoint_dir=None, checkpoint_every=0,
-                              resume=False, compute_dtype="float32", remat=False):
+                              resume=False, compute_dtype="float32", remat=False, cnn_scan_chunks=0):
     hp = BCHyperparams(
         batch_size=batch_size,
         chunk_len=chunk_len,
@@ -24,7 +24,8 @@ def behavioural_cloning_train(data_dir, in_model, in_weights, out_weights,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
     )
-    trainer = BCTrainer.from_files(in_model, in_weights, hp=hp, compute_dtype=compute_dtype, remat=remat)
+    trainer = BCTrainer.from_files(in_model, in_weights, hp=hp, compute_dtype=compute_dtype, remat=remat,
+                                   cnn_scan_chunks=cnn_scan_chunks)
     steps = trainer.train(
         data_dir,
         out_weights,
@@ -47,6 +48,8 @@ if __name__ == "__main__":
     parser.add_argument("--resume", action="store_true", help="Resume from the latest checkpoint in --checkpoint-dir")
     parser.add_argument("--compute-dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--remat", action="store_true", help="Rematerialize activations (memory for FLOPs)")
+    parser.add_argument("--cnn-scan-chunks", type=int, default=0,
+                        help="Sequentialize the CNN over N chunks to bound activation memory (needed for 2x/3x at T=128 on 16GB chips)")
 
     args = parser.parse_args()
     behavioural_cloning_train(
@@ -54,4 +57,5 @@ if __name__ == "__main__":
         batch_size=args.batch_size, chunk_len=args.chunk_len, epochs=args.epochs,
         checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
         resume=args.resume, compute_dtype=args.compute_dtype, remat=args.remat,
+        cnn_scan_chunks=args.cnn_scan_chunks,
     )

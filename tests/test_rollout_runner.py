@@ -1,0 +1,28 @@
+import numpy as np
+
+from vpt_tpu.agent import MineRLAgent
+from vpt_tpu.agent.rollout import BatchedRolloutRunner, MockMinecraftEnv
+
+TINY_KWARGS = dict(
+    hidsize=64, impala_width=1, impala_chans=[4, 8], img_shape=[64, 64, 3],
+    init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+    impala_kwargs={"post_pool_groups": 1}, n_recurrence_layers=2, timesteps=4,
+    attention_heads=4, attention_memory_size=8, recurrence_type="transformer",
+    attention_mask_style="clipped_causal", use_pre_lstm_ln=False,
+    obs_processing_width=32,
+)
+
+
+def test_batched_rollout_runner():
+    agent = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs={"temperature": 2.0},
+                        batch_size=3)
+    envs = [MockMinecraftEnv(seed=i, done_prob=0.3) for i in range(3)]
+    runner = BatchedRolloutRunner(agent, envs)
+    seen = []
+    stats = runner.run(8, on_step=lambda a: seen.append(a))
+    assert stats["frames"] == 24
+    assert stats["frames_per_sec"] > 0
+    assert len(seen) == 8 and len(seen[0]) == 3
+    # done episodes triggered resets (first flags used) with done_prob 0.3
+    # over 24 transitions it is overwhelmingly likely at least one reset fired
+    assert runner.episode_steps.max() <= 8

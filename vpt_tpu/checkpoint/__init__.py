@@ -1,5 +1,6 @@
 from vpt_tpu.checkpoint.torch_import import (
     load_model_parameters,
+    save_model_parameters,
     load_weights,
     state_dict_to_variables,
     variables_to_state_dict,
@@ -8,6 +9,7 @@ from vpt_tpu.checkpoint.torch_import import (
 
 __all__ = [
     "load_model_parameters",
+    "save_model_parameters",
     "load_weights",
     "state_dict_to_variables",
     "variables_to_state_dict",

@@ -51,6 +51,25 @@ class _TolerantUnpickler(pickle.Unpickler):
             return type(name, (), {"__module__": module})
 
 
+def save_model_parameters(
+    path: str,
+    policy_kwargs: Dict[str, Any],
+    pi_head_kwargs: Dict[str, Any],
+) -> None:
+    """Write a reference-layout ``.model`` pickle so checkpoint pairs can be
+    minted entirely from this framework (inverse of load_model_parameters)."""
+    blob = {
+        "model": {
+            "args": {
+                "net": {"args": dict(policy_kwargs)},
+                "pi_head_opts": dict(pi_head_kwargs),
+            }
+        }
+    }
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+
+
 def load_model_parameters(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Read a ``.model`` pickle → (policy_kwargs, pi_head_kwargs).
 

@@ -65,6 +65,12 @@ class PolicyConfig:
     # (trades FLOPs for memory; needed for full-size T=128 training chunks).
     remat: bool = False
 
+    # Sequentialize the (B·T)-folded CNN over this many chunks (0 = off).
+    # The CNN is per-frame, so scanning it bounds peak activation memory at
+    # (B·T/chunks) frames — the stack-0 conv buffer of the 2x model is 4 GB
+    # at B·T=1024, which OOMs a 16 GB chip in the backward pass otherwise.
+    cnn_scan_chunks: int = 0
+
     # Compute precision ("float32" for bit-parity, "bfloat16" for TPU throughput).
     # Parameters are always stored float32; attention logits/softmax, layernorms
     # and head log-softmax stay float32 regardless (reference keeps everything

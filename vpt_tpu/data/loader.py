@@ -32,6 +32,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import queue as queue_mod
 import random
 import multiprocessing
 
@@ -171,6 +172,8 @@ def _step_worker(tasks_queue, output_queue, quit_event):
                 video_path, json_path, cursor=cursor, quit_event=quit_event
             ):
                 output_queue.put((trajectory_id, frame, action), timeout=QUEUE_TIMEOUT)
+        except queue_mod.Full:
+            return  # consumer stopped pulling (epoch over): exit quietly
         except Exception as e:  # unreadable recording: report and move on
             print(f"Error in trajectory {video_path}: {e!r}")
         if quit_event.is_set():
@@ -261,6 +264,13 @@ class DataLoader:
 # ---------------------------------------------------------------------------
 
 
+def _quiet_put(q, item, timeout):
+    try:
+        q.put(item, timeout=timeout)
+    except queue_mod.Full:
+        pass  # consumer gone
+
+
 def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolution):
     """Emits fixed-length windows of consecutive (non-null) steps with actions
     already factored into the joint categorical space."""
@@ -299,6 +309,8 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
                     )
                     frames, buttons, cameras = [], [], []
                     first_of_chunk = False
+        except queue_mod.Full:
+            return  # consumer stopped pulling (epoch over): exit quietly
         except Exception as e:
             print(f"Error in trajectory {video_path}: {e!r}")
         # trailing partial chunk, zero-padded with a validity count
@@ -308,7 +320,7 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
             frames += [np.zeros_like(frames[0])] * pad
             buttons += [0] * pad
             cameras += [0] * pad
-            output_queue.put(
+            _quiet_put(output_queue,
                 (
                     trajectory_id,
                     np.stack(frames),

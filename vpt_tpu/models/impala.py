@@ -109,13 +109,18 @@ class ImpalaCNN(nn.Module):
     first_conv_norm: bool = False
     dense_layer_norm: bool = True
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x_bthwc):
         b, t = x_bthwc.shape[:2]
         x = x_bthwc.reshape((b * t,) + x_bthwc.shape[2:])
+        # remat per stack: the backward recomputes each stack from its input
+        # instead of keeping every conv activation alive — stack 0 of the 2x
+        # model at (B*T=1024, 128, 128, 128) is 4 GB per buffer otherwise
+        stack_cls = nn.remat(CnnDownStack) if self.remat else CnnDownStack
         for i, outchan in enumerate(self.chans):
-            x = CnnDownStack(
+            x = stack_cls(
                 outchan=outchan,
                 nblock=self.nblock,
                 init_scale=math.sqrt(len(self.chans)),

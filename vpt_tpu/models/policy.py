@@ -70,7 +70,7 @@ class ImgObsProcess(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         dtype = _compute_dtype(cfg)
-        x = ImpalaCNN(
+        cnn_kwargs = dict(
             chans=cfg.chans,
             outsize=cfg.obs_processing_width,
             nblock=cfg.impala_nblock,
@@ -80,8 +80,28 @@ class ImgObsProcess(nn.Module):
             first_conv_norm=cfg.first_conv_norm,
             dense_layer_norm=cfg.dense_use_layer_norm,
             dtype=dtype,
-            name="cnn",
-        )(x)
+            remat=cfg.remat,
+        )
+        chunks = cfg.cnn_scan_chunks
+        b, t = x.shape[:2]
+        if chunks > 1 and (b * t) % chunks == 0 and (b * t) > chunks:
+            # sequentialize the per-frame CNN over chunks (params broadcast:
+            # the module scope and checkpoint paths are unchanged)
+            sub = (b * t) // chunks
+            xs = x.reshape(chunks, 1, sub, *x.shape[2:])
+            cnn = ImpalaCNN(**cnn_kwargs, name="cnn")
+            scanned = nn.scan(
+                lambda mdl, carry, xc: (carry, mdl(xc)),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+                length=chunks,
+            )
+            _, ys = scanned(cnn, None, xs)
+            x = ys.reshape(b, t, cfg.obs_processing_width)
+        else:
+            x = ImpalaCNN(**cnn_kwargs, name="cnn")(x)
         x = FanInInitLayer(
             outchan=cfg.hidsize,
             layer_type="linear",

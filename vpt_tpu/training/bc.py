@@ -76,12 +76,13 @@ class BCTrainer:
         mesh=None,
         compute_dtype: str = "float32",
         remat: bool = False,
+        cnn_scan_chunks: int = 0,
         seed: int = 0,
     ):
         self.hp = hp or BCHyperparams()
         self.mesh = mesh if mesh is not None else make_mesh()
         self.cfg = PolicyConfig.from_kwargs(dict(policy_kwargs)).replace(
-            compute_dtype=compute_dtype, remat=remat
+            compute_dtype=compute_dtype, remat=remat, cnn_scan_chunks=cnn_scan_chunks
         )
         self.temperature = float(pi_head_kwargs.get("temperature", 1.0))
         self.action_mapper = CameraHierarchicalMapping(n_camera_bins=11)
