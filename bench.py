@@ -30,7 +30,7 @@ WARMUP_STEPS = 5
 MEASURE_STEPS = 60
 
 
-def bench_tpu(n_streams: int = N_STREAMS, compute_dtype: str = "bfloat16") -> float:
+def bench_tpu(n_streams: int = N_STREAMS, compute_dtype: str = "bfloat16", width: int = 2) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +40,9 @@ def bench_tpu(n_streams: int = N_STREAMS, compute_dtype: str = "bfloat16") -> fl
     from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
     from vpt_tpu.spaces import DictType
 
-    cfg = PolicyConfig.from_kwargs(FOUNDATION_POLICY_KWARGS).replace(compute_dtype=compute_dtype)
+    cfg = PolicyConfig.from_kwargs(FOUNDATION_POLICY_KWARGS).replace(
+        compute_dtype=compute_dtype, hidsize=1024 * width, impala_width=4 * width
+    )
     mapper = CameraHierarchicalMapping(n_camera_bins=11)
     specs = head_specs_from_space(DictType(**mapper.get_action_space_update()))
     model = MinecraftAgentPolicy(cfg=cfg, head_specs=specs, temperature=2.0)
@@ -172,11 +174,11 @@ def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
     return batch * chunk * steps / dt
 
 
-def bench_torch_baseline(n_streams: int = N_STREAMS) -> float:
+def bench_torch_baseline(n_streams: int = N_STREAMS, width: int = 2) -> float:
     """Same architecture, reference framework (torch), available hardware (CPU)."""
     from bench_torch_ref import measure_policy_step_fps
 
-    return measure_policy_step_fps(n_streams=n_streams, n_steps=3)
+    return measure_policy_step_fps(n_streams=n_streams, n_steps=3, width=width)
 
 
 def main():
@@ -185,6 +187,7 @@ def main():
     ap.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--remeasure-baseline", action="store_true")
     ap.add_argument("--metric", default="rollout", choices=["rollout", "idm", "bc"])
+    ap.add_argument("--width", type=int, default=2, help="Foundation width multiple (1/2/3)")
     args = ap.parse_args()
 
     if args.metric == "bc":
@@ -207,30 +210,30 @@ def main():
         }))
         return
 
-    fps = bench_tpu(n_streams=args.streams, compute_dtype=args.compute_dtype)
+    fps = bench_tpu(n_streams=args.streams, compute_dtype=args.compute_dtype, width=args.width)
 
     baseline = None
-    if os.path.exists(BASELINE_CACHE) and not args.remeasure_baseline:
+    cache = {}
+    key = f"torch_cpu_fps_{args.width}x"
+    if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            baseline = json.load(f).get("torch_cpu_fps")
+            cache = json.load(f)
+        if not args.remeasure_baseline:
+            baseline = cache.get(key)
     if baseline is None:
         try:
-            baseline = bench_torch_baseline(n_streams=args.streams)
+            baseline = bench_torch_baseline(n_streams=args.streams, width=args.width)
+            cache[key] = baseline
+            cache["note"] = ("reference architecture in torch on this host's CPU "
+                             "(no CUDA in image); 64-stream single-step rollout")
             with open(BASELINE_CACHE, "w") as f:
-                json.dump(
-                    {
-                        "torch_cpu_fps": baseline,
-                        "note": "reference architecture in torch on this host's CPU "
-                        "(no CUDA in image); 64-stream single-step rollout",
-                    },
-                    f,
-                )
+                json.dump(cache, f)
         except Exception as e:
             print(f"# baseline measurement failed: {e!r}", flush=True)
             baseline = None
 
     result = {
-        "metric": f"policy rollout throughput, 2x-width foundation arch, {args.streams} streams, KV cache",
+        "metric": f"policy rollout throughput, {args.width}x-width foundation arch, {args.streams} streams, KV cache",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline, 2) if baseline else None,

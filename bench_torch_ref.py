@@ -19,12 +19,20 @@ import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
+# configured by set_width(); defaults = 2x foundation
 HID = 2048
 HEADS = 16
 N_BLOCKS = 4
 MAXLEN = 128
 CHANS = (128, 256, 256)
 NBASIS = 10
+
+
+def set_width(width: int) -> None:
+    """Scale the module-level architecture to a foundation width multiple."""
+    global HID, CHANS
+    HID = 1024 * width
+    CHANS = tuple(int(4 * width * c) for c in (16, 32, 32))
 
 
 class ConvBlock(nn.Module):
@@ -106,8 +114,9 @@ class Policy2x(nn.Module):
             stacks.append(DownStack(cin, ch, first_norm=i > 0))
             cin = ch
         self.stacks = nn.ModuleList(stacks)
-        self.dense_ln = nn.LayerNorm(256 * 16 * 16)
-        self.dense = nn.Linear(256 * 16 * 16, 256, bias=False)
+        flat = CHANS[-1] * 16 * 16
+        self.dense_ln = nn.LayerNorm(flat)
+        self.dense = nn.Linear(flat, 256, bias=False)
         self.lin_ln = nn.LayerNorm(256)
         self.lin = nn.Linear(256, HID, bias=False)
         self.blocks = nn.ModuleList([TransformerBlock() for _ in range(N_BLOCKS)])
@@ -143,7 +152,9 @@ class Policy2x(nn.Module):
         return ab, ac, self.value(x), new_caches
 
 
-def measure_policy_step_fps(n_streams: int = 64, n_steps: int = 3, warmup: int = 1) -> float:
+def measure_policy_step_fps(n_streams: int = 64, n_steps: int = 3, warmup: int = 1,
+                            width: int = 2) -> float:
+    set_width(width)
     torch.set_num_threads(max(1, torch.get_num_threads()))
     with torch.no_grad():
         model = Policy2x().eval()

@@ -9,6 +9,10 @@ through jax.config after import.
 
 import os
 
+# single-core host: data-loader workers can be starved while other tests
+# compile; give queue waits generous headroom to avoid flaky timeouts
+os.environ.setdefault("VPT_QUEUE_TIMEOUT", "60")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

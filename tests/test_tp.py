@@ -67,6 +67,44 @@ def test_tp_forward_matches_replicated():
     )
 
 
+def test_tp_training_matches_single_device():
+    """One BC train step on a (dp=2, tp=4) mesh must equal the 1-device step."""
+    import numpy as np
+
+    from vpt_tpu.training.bc import BCHyperparams, BCTrainer
+
+    kwargs = dict(
+        hidsize=64, impala_width=1, impala_chans=[4, 8], img_shape=[32, 32, 3],
+        init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+        impala_kwargs={"post_pool_groups": 1}, n_recurrence_layers=2, timesteps=4,
+        attention_heads=4, attention_memory_size=8, recurrence_type="transformer",
+        attention_mask_style="clipped_causal", use_pre_lstm_ln=False,
+        obs_processing_width=32,
+    )
+    rng = np.random.default_rng(7)
+    batch = {
+        "frames": rng.integers(0, 255, (8, 4, 32, 32, 3), dtype=np.uint8),
+        "buttons": rng.integers(0, 8641, (8, 4)).astype(np.int32),
+        "camera": rng.integers(0, 121, (8, 4)).astype(np.int32),
+        "firsts": np.zeros((8, 4), bool),
+        "mask": np.ones((8, 4), bool),
+    }
+
+    def run(mesh):
+        hp = BCHyperparams(batch_size=8, chunk_len=4, learning_rate=1e-3)
+        t = BCTrainer(kwargs, {"temperature": 2.0}, hp=hp, mesh=mesh, seed=0)
+        t.init()
+        _, loss, gn = t.train_step(batch, t.initial_state(8))
+        return float(loss), float(gn), jax.tree.map(np.asarray, t.variables["params"])
+
+    loss_tp, gn_tp, p_tp = run(make_mesh(n_dp=2, n_tp=4))
+    loss_1, gn_1, p_1 = run(make_mesh(n_dp=1))
+    np.testing.assert_allclose(loss_tp, loss_1, rtol=1e-5)
+    np.testing.assert_allclose(gn_tp, gn_1, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p_tp), jax.tree.leaves(p_1)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-6)
+
+
 def test_dp_tp_mesh_geometry():
     mesh = make_mesh(n_dp=4, n_tp=2)
     assert mesh.shape == {"dp": 4, "tp": 2}

@@ -49,7 +49,8 @@ from vpt_tpu.actions.mapping import CameraHierarchicalMapping
 from vpt_tpu.actions.transformer import ActionTransformer
 from vpt_tpu.data.cursor import default_cursor
 
-QUEUE_TIMEOUT = 10
+# seconds a queue get/put may wait; override for slow/contended hosts
+QUEUE_TIMEOUT = float(os.environ.get("VPT_QUEUE_TIMEOUT", 10))
 
 MINEREC_ORIGINAL_HEIGHT_PX = 720
 

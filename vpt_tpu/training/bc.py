@@ -100,6 +100,17 @@ class BCTrainer:
 
     # ------------------------------------------------------------------ setup
 
+    @property
+    def _tp(self) -> int:
+        return int(self.mesh.shape.get("tp", 1))
+
+    def _place_variables(self, variables):
+        if self._tp > 1:
+            from vpt_tpu.parallel.tp import shard_variables
+
+            return shard_variables(variables, self.mesh)
+        return jax.device_put(variables, replicated(self.mesh))
+
     def init(self):
         if self.variables is not None:
             return
@@ -108,15 +119,15 @@ class BCTrainer:
         self.variables = jax.jit(self.policy.init)(
             jax.random.PRNGKey(self._seed), img, jnp.zeros((1, 1), bool), state
         )
-        self.variables = jax.device_put(self.variables, replicated(self.mesh))
+        self.variables = self._place_variables(self.variables)
+        # optimizer moments inherit the parameter shardings via jit propagation
         self.opt_state = jax.jit(self.optimizer.init)(self.variables["params"])
-        self.opt_state = jax.device_put(self.opt_state, replicated(self.mesh))
 
     def load_weights(self, path: str):
         self.init()
         sd = load_weights(path)
         self.variables, report = state_dict_to_variables(sd, variables=jax.tree.map(np.asarray, self.variables))
-        self.variables = jax.device_put(self.variables, replicated(self.mesh))
+        self.variables = self._place_variables(self.variables)
         return report
 
     @classmethod
@@ -160,6 +171,10 @@ class BCTrainer:
             state_out = jax.tree.map(jax.lax.stop_gradient, state_out)
             return {"params": params, "stats": variables["stats"]}, opt_state, state_out, loss, grad_norm
 
+        if self._tp > 1:
+            # params carry explicit tp shardings on the arrays themselves;
+            # jit propagates them (and the dp batch shardings) through SPMD
+            return jax.jit(train_step, donate_argnums=(0, 1, 3))
         data_sh = batch_sharded(self.mesh)
         repl = replicated(self.mesh)
         return jax.jit(
