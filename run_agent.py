@@ -13,26 +13,36 @@ from vpt_tpu.agent import MineRLAgent
 from vpt_tpu.checkpoint import load_model_parameters
 
 
-def main(model, weights, mock_env=False, steps=100, show=True):
+def main(model, weights, mock_env=False, steps=100, streams=1, show=True):
     policy_kwargs, pi_head_kwargs = load_model_parameters(model)
 
     if mock_env:
-        print("---Loading model (mock env)---")
-        agent = MineRLAgent(policy_kwargs=policy_kwargs, pi_head_kwargs=pi_head_kwargs)
+        from vpt_tpu.agent.rollout import BatchedRolloutRunner, MockMinecraftEnv
+
+        print(f"---Loading model (mock env, {streams} stream{'s' if streams > 1 else ''})---")
+        agent = MineRLAgent(
+            policy_kwargs=policy_kwargs,
+            pi_head_kwargs=pi_head_kwargs,
+            batch_size=streams,
+            compute_dtype="bfloat16" if streams > 1 else "float32",
+        )
         agent.load_weights(weights)
         print("---Running mock rollout---")
-        rng = np.random.default_rng(0)
-        import time
+        runner = BatchedRolloutRunner(agent, [MockMinecraftEnv(seed=i) for i in range(streams)])
+        shown = {"n": 0}
 
-        t0 = time.time()
-        for i in range(steps):
-            obs = {"pov": rng.integers(0, 255, (360, 640, 3), dtype=np.uint8)}
-            action = agent.get_action(obs)
-            if show and i < 3:
-                pressed = [k for k, v in action.items() if k != "camera" and v == 1]
-                print(f"step {i}: pressed={pressed} camera={np.round(action['camera'], 2)}")
-        dt = time.time() - t0
-        print(f"{steps} steps in {dt:.2f}s → {steps / dt:.1f} frames/sec")
+        def preview(actions):
+            if show and shown["n"] < 3:
+                a = actions[0]
+                pressed = [k for k, v in a.items() if k != "camera" and v == 1]
+                print(f"step {shown['n']}: pressed={pressed} camera={np.round(a['camera'], 2)}")
+                shown["n"] += 1
+
+        stats = runner.run(steps, on_step=preview)
+        print(
+            f"{stats['frames']} env frames in {stats['seconds']:.2f}s → "
+            f"{stats['frames_per_sec']:.1f} frames/sec end-to-end"
+        )
         return
 
     import gym
@@ -60,6 +70,7 @@ if __name__ == "__main__":
     parser.add_argument("--model", type=str, required=True, help="Path to the '.model' file to be loaded.")
     parser.add_argument("--mock-env", action="store_true", help="Run on synthetic frames (no MineRL needed).")
     parser.add_argument("--steps", type=int, default=100, help="Mock-env step count.")
+    parser.add_argument("--streams", type=int, default=1, help="Parallel env streams (batched rollout runtime).")
 
     args = parser.parse_args()
-    main(args.model, args.weights, mock_env=args.mock_env, steps=args.steps)
+    main(args.model, args.weights, mock_env=args.mock_env, steps=args.steps, streams=args.streams)
