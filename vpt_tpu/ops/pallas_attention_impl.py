@@ -108,6 +108,92 @@ def _fused_forward(q, k, v, maskbias, R, D, use_muP_factor):
     )(q, k, v, R, D, maskbias)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, r_ref, d_ref, mb_ref,
+                     dq_ref, dk_ref, dv_ref, dl_ref,
+                     *, alpha, nbasis, has_rel, has_mask):
+    """Backward for one (batch, head): recompute the softmax, then
+    dV = Wᵀ·dO;  dL = W ⊙ (dO·Vᵀ − rowsum(dO·Vᵀ ⊙ W));  dQ = α·dL·K;
+    dK = α·dLᵀ·Q.  dL is emitted for the (cheap, XLA-side) relattn grads."""
+    f32 = jnp.float32
+    q = q_ref[0, 0].astype(f32)
+    k = k_ref[0, 0].astype(f32)
+    v = v_ref[0, 0].astype(f32)
+    do = do_ref[0, 0].astype(f32)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) * alpha
+    if has_rel:
+        r = r_ref[0, 0].astype(f32)
+        for n in range(nbasis):
+            logits += r[:, n][:, None] * d_ref[n]
+    if has_mask:
+        logits += mb_ref[0]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    w = jnp.exp(logits - m)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)  # (t, T)
+
+    dv_ref[0, 0] = jax.lax.dot_general(
+        w, do, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32
+    ).astype(dv_ref.dtype)
+    dwmat = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32
+    )  # (t, T)
+    rowdot = jnp.sum(dwmat * w, axis=-1, keepdims=True)
+    dl = w * (dwmat - rowdot)
+    dl_ref[0, 0] = dl
+    dq_ref[0, 0] = (alpha * jax.lax.dot_general(
+        dl, k, dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32
+    )).astype(dq_ref.dtype)
+    dk_ref[0, 0] = (alpha * jax.lax.dot_general(
+        dl, q, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32
+    )).astype(dk_ref.dtype)
+
+
+def _fused_backward(q, k, v, do, maskbias, R, D, use_muP_factor):
+    B, H, t, d = q.shape
+    T = k.shape[2]
+    alpha = (1.0 / d) if use_muP_factor else float(1.0 / np.sqrt(d))
+    has_rel = R is not None
+    has_mask = maskbias is not None
+    nbasis = R.shape[-1] if has_rel else 0
+    if not has_rel:
+        R = jnp.zeros((B, H, t, 1), jnp.float32)
+        D = jnp.zeros((1, t, T), jnp.float32)
+    if not has_mask:
+        maskbias = jnp.zeros((1, t, T), jnp.float32)
+
+    kernel = functools.partial(
+        _attn_bwd_kernel, alpha=alpha, nbasis=nbasis, has_rel=has_rel, has_mask=has_mask
+    )
+    bh_spec = lambda shape: pl.BlockSpec((1, 1) + shape, lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, t, d), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T, d), k.dtype),
+            jax.ShapeDtypeStruct((B, H, T, d), v.dtype),
+            jax.ShapeDtypeStruct((B, H, t, T), jnp.float32),
+        ),
+        grid=(B, H),
+        in_specs=[
+            bh_spec((t, d)),
+            bh_spec((T, d)),
+            bh_spec((T, d)),
+            bh_spec((t, d)),
+            bh_spec((t, max(nbasis, 1))),
+            pl.BlockSpec((max(nbasis, 1), t, T), lambda b, h: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, t, T),
+                (lambda b, h: (b, 0, 0)) if maskbias.shape[0] != 1 else (lambda b, h: (0, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(bh_spec((t, d)), bh_spec((T, d)), bh_spec((T, d)), bh_spec((t, T))),
+        interpret=INTERPRET,
+    )(q, k, v, do, R, D, maskbias)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _fused_attention(q, k, v, maskbias, R, b_nd, use_muP_factor):
     t, T = q.shape[2], k.shape[2]
@@ -134,11 +220,21 @@ def _fwd(q, k, v, maskbias, R, b_nd, use_muP_factor):
 
 def _bwd(use_muP_factor, residuals, g):
     q, k, v, maskbias, R, b_nd = residuals
-    _, vjp = jax.vjp(
-        lambda q, k, v, R, b_nd: _xla_equivalent(q, k, v, maskbias, R, b_nd, use_muP_factor),
-        q, k, v, R, b_nd,
-    )
-    dq, dk, dv, dR, db = vjp(g)
+    t, T = q.shape[2], k.shape[2]
+    if R is not None:
+        D, bias_vjp = jax.vjp(
+            lambda b: banded_bias_matrix(b.astype(jnp.float32), t, T), b_nd
+        )
+    else:
+        D = None
+    dq, dk, dv, dl = _fused_backward(q, k, v, g, maskbias, R, D, use_muP_factor)
+    dR = db = None
+    if R is not None:
+        # extra = Σ_n R[...,n]·D[n]: linear in both → grads are einsums of dL
+        dR = jnp.einsum("bhtT,ntT->bhtn", dl, D).astype(R.dtype)
+        dD = jnp.einsum("bhtT,bhtn->ntT", dl, R.astype(jnp.float32))
+        (db,) = bias_vjp(dD)
+        db = db.astype(b_nd.dtype)
     return dq, dk, dv, None, dR, db
 
 
