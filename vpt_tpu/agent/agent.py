@@ -19,6 +19,8 @@ import numpy as np
 
 from vpt_tpu.actions import ActionTransformer, CameraHierarchicalMapping
 from vpt_tpu.config import (
+    ACTION_TRANSFORMER_KWARGS,
+    AGENT_RESOLUTION,
     FOUNDATION_PI_HEAD_KWARGS,
     FOUNDATION_POLICY_KWARGS,
     PolicyConfig,
@@ -27,15 +29,6 @@ from vpt_tpu.models.heads import dict_sample, head_specs_from_space
 from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
 from vpt_tpu.spaces import DictType
 from vpt_tpu.checkpoint import load_weights, state_dict_to_variables
-
-AGENT_RESOLUTION = (128, 128)  # reference: agent.py:14
-
-ACTION_TRANSFORMER_KWARGS = dict(  # reference: agent.py:40-45
-    camera_binsize=2,
-    camera_maxval=10,
-    camera_mu=10,
-    camera_quantization_scheme="mu_law",
-)
 
 ENV_KWARGS = dict(  # reference: agent.py:47-54
     fov_range=[70, 70],

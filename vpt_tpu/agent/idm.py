@@ -17,20 +17,11 @@ import numpy as np
 
 from vpt_tpu.actions import ActionTransformer, IDMActionMapping
 from vpt_tpu.checkpoint import load_weights, state_dict_to_variables
-from vpt_tpu.config import PolicyConfig
+from vpt_tpu.config import ACTION_TRANSFORMER_KWARGS, AGENT_RESOLUTION, PolicyConfig
 from vpt_tpu.models.heads import dict_sample, head_specs_from_space
 from vpt_tpu.models.policy import InverseActionPolicy, policy_initial_state
 from vpt_tpu.ops.resize import resize_image
 from vpt_tpu.spaces import DictType
-
-AGENT_RESOLUTION = (128, 128)
-
-ACTION_TRANSFORMER_KWARGS = dict(  # reference: inverse_dynamics_model.py:14-19
-    camera_binsize=2,
-    camera_maxval=10,
-    camera_mu=10,
-    camera_quantization_scheme="mu_law",
-)
 
 
 class IDMAgent:

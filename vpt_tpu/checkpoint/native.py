@@ -30,6 +30,14 @@ except Exception:  # pragma: no cover - orbax is in the base image
     _HAS_ORBAX = False
 
 
+def _require_orbax():
+    if not _HAS_ORBAX:
+        raise RuntimeError(
+            "orbax-checkpoint is required for native checkpoints "
+            "(pip install orbax-checkpoint)"
+        )
+
+
 def save_checkpoint(
     directory: str,
     step: int,
@@ -40,6 +48,7 @@ def save_checkpoint(
     keep: int = 3,
 ) -> str:
     """Write checkpoint ``directory/step_N``; prunes to the newest ``keep``."""
+    _require_orbax()
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
     payload = {"variables": variables}
@@ -75,6 +84,7 @@ def restore_checkpoint(directory: str, step: Optional[int] = None, template: Any
     ``template`` (a matching pytree of arrays/ShapeDtypeStructs, possibly with
     shardings) controls placement on restore.
     """
+    _require_orbax()
     if step is None:
         step = latest_step(directory)
         if step is None:

@@ -161,6 +161,15 @@ FOUNDATION_POLICY_KWARGS: Dict[str, Any] = dict(
 
 FOUNDATION_PI_HEAD_KWARGS: Dict[str, Any] = dict(temperature=2.0)
 
+# Camera quantizer settings shared by the policy agent, IDM agent and data
+# pipeline (reference: agent.py:40-45 == inverse_dynamics_model.py:14-19)
+ACTION_TRANSFORMER_KWARGS: Dict[str, Any] = dict(
+    camera_binsize=2,
+    camera_maxval=10,
+    camera_mu=10,
+    camera_quantization_scheme="mu_law",
+)
+
 AGENT_RESOLUTION = (128, 128)  # reference: agent.py:14
 
 

@@ -47,12 +47,13 @@ import numpy as np
 from vpt_tpu.actions.json_actions import json_action_to_env_action
 from vpt_tpu.actions.mapping import CameraHierarchicalMapping
 from vpt_tpu.actions.transformer import ActionTransformer
+from vpt_tpu.config import ACTION_TRANSFORMER_KWARGS, AGENT_RESOLUTION
 from vpt_tpu.data.cursor import default_cursor
 
 # seconds a queue get/put may wait; override for slow/contended hosts
 QUEUE_TIMEOUT = float(os.environ.get("VPT_QUEUE_TIMEOUT", 10))
 
-MINEREC_ORIGINAL_HEIGHT_PX = 720
+MINEREC_ORIGINAL_HEIGHT_PX = 720  # reference: data_loader.py:21
 
 # GUI-open mouse-delta scalers per recorder version (reference:
 # data_loader.py:25-31).  NOTE: the reference *defines* these but never applies
@@ -66,7 +67,6 @@ MINEREC_VERSION_SPECIFIC_SCALERS = {
     "6.9": 2.0,
 }
 
-AGENT_RESOLUTION = (128, 128)
 
 
 def _load_jsonl(json_path: str):
@@ -172,9 +172,8 @@ def _step_worker(tasks_queue, output_queue, quit_event):
             for frame, action in trajectory_steps(
                 video_path, json_path, cursor=cursor, quit_event=quit_event
             ):
-                output_queue.put((trajectory_id, frame, action), timeout=QUEUE_TIMEOUT)
-        except queue_mod.Full:
-            return  # consumer stopped pulling (epoch over): exit quietly
+                if not _robust_put(output_queue, (trajectory_id, frame, action), quit_event):
+                    return
         except Exception as e:  # unreadable recording: report and move on
             print(f"Error in trajectory {video_path}: {e!r}")
         if quit_event.is_set():
@@ -233,9 +232,19 @@ class DataLoader:
     def __next__(self):
         batch_frames, batch_actions, batch_episode_id = [], [], []
         for _ in range(self.batch_size):
-            workitem = self.output_queues[self.n_steps_processed % self.n_workers].get(
-                timeout=QUEUE_TIMEOUT
-            )
+            qi = self.n_steps_processed % self.n_workers
+            try:
+                workitem = self.output_queues[qi].get(timeout=QUEUE_TIMEOUT)
+            except Exception:
+                if not self.processes[qi].is_alive():
+                    raise RuntimeError(
+                        f"data worker {qi} died (exitcode {self.processes[qi].exitcode}); "
+                        "check worker stderr above"
+                    ) from None
+                raise RuntimeError(
+                    f"data worker {qi} produced nothing within {QUEUE_TIMEOUT}s "
+                    "(slow decode or starved host); raise VPT_QUEUE_TIMEOUT if expected"
+                ) from None
             if workitem is None:
                 # first exhausted worker ends the stream, keeping batches
                 # diverse (reference: data_loader.py:204-211)
@@ -265,11 +274,17 @@ class DataLoader:
 # ---------------------------------------------------------------------------
 
 
-def _quiet_put(q, item, timeout):
-    try:
-        q.put(item, timeout=timeout)
-    except queue_mod.Full:
-        pass  # consumer gone
+def _robust_put(q, item, quit_event) -> bool:
+    """Put that survives consumer pauses (e.g. a long orbax checkpoint save
+    blocking the training loop): retry until the quit event fires.  Returns
+    False when the consumer is shutting down."""
+    while True:
+        try:
+            q.put(item, timeout=1.0)
+            return True
+        except queue_mod.Full:
+            if quit_event.is_set():
+                return False
 
 
 def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolution):
@@ -277,9 +292,7 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
     already factored into the joint categorical space."""
     cursor = default_cursor()
     mapper = CameraHierarchicalMapping(n_camera_bins=11)
-    transformer = ActionTransformer(
-        camera_binsize=2, camera_maxval=10, camera_mu=10, camera_quantization_scheme="mu_law"
-    )
+    transformer = ActionTransformer(**ACTION_TRANSFORMER_KWARGS)
     while True:
         task = tasks_queue.get()
         if task is None:
@@ -297,21 +310,18 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
                 buttons.append(joint["buttons"][0, 0])
                 cameras.append(joint["camera"][0, 0])
                 if len(frames) == chunk_len:
-                    output_queue.put(
-                        (
-                            trajectory_id,
-                            np.stack(frames),
-                            np.asarray(buttons, np.int32),
-                            np.asarray(cameras, np.int32),
-                            first_of_chunk,
-                            chunk_len,
-                        ),
-                        timeout=QUEUE_TIMEOUT,
+                    item = (
+                        trajectory_id,
+                        np.stack(frames),
+                        np.asarray(buttons, np.int32),
+                        np.asarray(cameras, np.int32),
+                        first_of_chunk,
+                        chunk_len,
                     )
+                    if not _robust_put(output_queue, item, quit_event):
+                        return
                     frames, buttons, cameras = [], [], []
                     first_of_chunk = False
-        except queue_mod.Full:
-            return  # consumer stopped pulling (epoch over): exit quietly
         except Exception as e:
             print(f"Error in trajectory {video_path}: {e!r}")
         # trailing partial chunk, zero-padded with a validity count
@@ -321,7 +331,8 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
             frames += [np.zeros_like(frames[0])] * pad
             buttons += [0] * pad
             cameras += [0] * pad
-            _quiet_put(output_queue,
+            _robust_put(
+                output_queue,
                 (
                     trajectory_id,
                     np.stack(frames),
@@ -330,7 +341,7 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
                     first_of_chunk,
                     n,
                 ),
-                timeout=QUEUE_TIMEOUT,
+                quit_event,
             )
         if quit_event.is_set():
             break

@@ -83,6 +83,8 @@ class SelfAttentionLayer(nn.Module):
         kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
         mask_btT: Optional[jnp.ndarray],
     ):
+        # the skip connection carries the PRE-ln_x input (reference:
+        # xf.py:358-360 — ln_x is applied inside residual())
         X = self.ln_x(x_bte) if self.norm == "layer" else x_bte
         Q = self.q_layer(X)
         K = self.k_layer(X)
@@ -110,7 +112,7 @@ class SelfAttentionLayer(nn.Module):
             R,
         )
         out = self.proj_layer(merge_heads(A))
-        return X + out, new_cache
+        return x_bte + out, new_cache
 
     def _attend(self, q, k, v, mask, R):
         impl = self.attention_impl
@@ -166,7 +168,7 @@ class SelfAttentionLayer(nn.Module):
         w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
         A = jnp.einsum("bhtM,bhMd->bhtd", w, vh)
         out = self.proj_layer(merge_heads(A))
-        return X + out, k_ring, v_ring, valid
+        return x_b1e + out, k_ring, v_ring, valid
 
 
 class MaskedAttention(nn.Module):
@@ -191,6 +193,12 @@ class MaskedAttention(nn.Module):
     def setup(self):
         assert self.mask_style in ("none", "clipped_causal")
         assert self.memory_size >= 0
+        # reference guard (xf.py AttentionLayerBase): a zero window under a
+        # causal mask would silently softmax over all -1e9 logits
+        assert self.maxlen > 0 or self.mask_style == "none", (
+            f"attention_memory_size ({self.memory_size}) must exceed timesteps "
+            f"({self.timesteps}) for clipped_causal attention"
+        )
         self.orc_block = SelfAttentionLayer(
             x_size=self.input_size,
             heads=self.heads,

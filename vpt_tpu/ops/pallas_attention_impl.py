@@ -11,9 +11,10 @@ One grid cell = one (batch, head).  The whole window fits VMEM comfortably
   3. adds the clipped-causal mask bias (B,t,T), shared across heads;
   4. runs a float32 softmax on the VPU and hits the MXU again for ``W·V``.
 
-The backward pass recomputes through the XLA reference implementation
-(vpt_tpu.ops.attention.windowed_attention) via custom_vjp — same math, so
-gradients are exact; the fused kernel accelerates the forward/rollout path.
+The backward pass is a second fused kernel (``_attn_bwd_kernel``): it
+recomputes the float32 softmax on-chip and emits dQ/dK/dV plus dL; the linear
+relative-bias gradients (dR, db_nd) are then two cheap XLA einsums of dL
+against the banded table.
 
 Shapes covered: t ≥ 8 and t % 8 == 0, d % 128 == 0, T arbitrary (padded to
 a lane multiple internally by Mosaic).  The t = 1 decode step stays on XLA —
@@ -199,18 +200,6 @@ def _fused_attention(q, k, v, maskbias, R, b_nd, use_muP_factor):
     t, T = q.shape[2], k.shape[2]
     D = banded_bias_matrix(b_nd.astype(jnp.float32), t, T) if R is not None else None
     return _fused_forward(q, k, v, maskbias, R, D, use_muP_factor)
-
-
-def _xla_equivalent(q, k, v, maskbias, R, b_nd, use_muP_factor):
-    t, T = q.shape[2], k.shape[2]
-    extra = None
-    if R is not None:
-        D = banded_bias_matrix(b_nd.astype(jnp.float32), t, T)
-        extra = jnp.einsum("bhtn,ntT->bhtT", R.astype(jnp.float32), D)
-    if maskbias is not None:
-        mb = maskbias if maskbias.shape[0] != 1 else maskbias
-        extra = mb[:, None] if extra is None else extra + mb[:, None]
-    return windowed_attention(q, k, v, None, extra, use_muP_factor)
 
 
 def _fwd(q, k, v, maskbias, R, b_nd, use_muP_factor):

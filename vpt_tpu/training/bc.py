@@ -223,10 +223,17 @@ class BCTrainer:
         metrics = metrics or MetricsLogger()
         start_traj = 0
         if resume_dir:
-            payload, data_state = native_ckpt.restore_checkpoint(resume_dir)
+            # the template preserves the optax namedtuple pytree structure —
+            # a bare orbax restore returns nested dicts/lists that the jitted
+            # train step (and optimizer.update) cannot consume
+            template = {
+                "variables": jax.tree.map(np.asarray, self.variables),
+                "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            }
+            payload, data_state = native_ckpt.restore_checkpoint(resume_dir, template=template)
             if payload is not None:
-                self.variables = jax.device_put(payload["variables"], replicated(self.mesh))
-                self.opt_state = jax.device_put(payload["opt_state"], replicated(self.mesh))
+                self.variables = self._place_variables(payload["variables"])
+                self.opt_state = jax.jit(lambda x: x)(payload["opt_state"])
                 if data_state:
                     start_traj = int(data_state.get("n_trajectories_dispatched", 0))
                     self.step_count = int(data_state.get("step_count", 0))
