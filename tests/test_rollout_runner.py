@@ -13,6 +13,24 @@ TINY_KWARGS = dict(
 )
 
 
+def test_pipelined_rollout_runner():
+    from vpt_tpu.agent.rollout import PipelinedRolloutRunner
+
+    a = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs={"temperature": 2.0}, batch_size=2)
+    b = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs={"temperature": 2.0},
+                    batch_size=2, seed=1)
+    a._ensure_variables()
+    b.variables = a.variables  # share one weights tree
+    runner = PipelinedRolloutRunner(
+        a, b,
+        [MockMinecraftEnv(seed=i, done_prob=0.2) for i in range(2)],
+        [MockMinecraftEnv(seed=10 + i, done_prob=0.2) for i in range(2)],
+    )
+    stats = runner.run(6)
+    assert stats["frames"] == 24
+    assert stats["frames_per_sec"] > 0
+
+
 def test_batched_rollout_runner():
     agent = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs={"temperature": 2.0},
                         batch_size=3)

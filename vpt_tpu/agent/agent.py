@@ -96,8 +96,14 @@ class MineRLAgent:
         compute_dtype: str = "float32",
         resize_on_device: bool = False,
         ring_cache: bool = True,
+        decode_on_device: bool = True,
     ):
         self.resize_on_device = resize_on_device
+        # decode sampled joint actions to the factored env space inside the
+        # jitted step: ONE (B, 23) device→host transfer per step (buttons,
+        # camera degrees, vpred) instead of three — each transfer costs a
+        # full RTT on remote-attached TPUs
+        self.decode_on_device = decode_on_device
         # rotating decode cache: one slot written per step instead of a full
         # cache shift (numerically equivalent; see tests/test_ring_cache.py)
         self.ring_cache = ring_cache
@@ -137,6 +143,11 @@ class MineRLAgent:
         policy, specs = self.policy, self.head_specs
         resolution = self._resolution
         on_device = self.resize_on_device
+        decoder = None
+        if self.decode_on_device:
+            from vpt_tpu.actions.device_decode import DeviceActionDecoder
+
+            decoder = DeviceActionDecoder(self.action_mapper, self.action_transformer.quantizer)
 
         def step(variables, img, first, state, key, stochastic):
             if on_device:
@@ -147,6 +158,12 @@ class MineRLAgent:
             logits = jax.tree.map(lambda x: x[:, -1], out["pi_logits"])
             key, sub = jax.random.split(key)
             action = dict_sample(sub, logits, specs, deterministic=not stochastic)
+            if decoder is not None:
+                decoded = decoder.decode(action["buttons"][:, 0], action["camera"][:, 0])
+                packed = jnp.concatenate(
+                    [decoded, out["vpred"][:, -1].astype(jnp.float32)], axis=1
+                )
+                return packed, state, key
             return action, out["vpred"][:, -1], state, key
 
         # donate the recurrent state: the KV caches update in place instead of
@@ -231,16 +248,63 @@ class MineRLAgent:
             first = np.zeros((b, 1), bool)
         else:
             first = np.asarray(first, bool).reshape(b, 1)
-        action, vpred, self.hidden_state, self._rng = self._step(
-            self.variables, jnp.asarray(img), jnp.asarray(first), self.hidden_state,
-            self._rng, stochastic,
-        )
-        self._last_vpred = np.asarray(vpred)
-        env_action = self._agent_action_to_env(jax.tree.map(np.asarray, action))
+        if self.decode_on_device:
+            from vpt_tpu.actions.device_decode import env_action_from_decoded
+
+            packed, self.hidden_state, self._rng = self._step(
+                self.variables, jnp.asarray(img), jnp.asarray(first), self.hidden_state,
+                self._rng, stochastic,
+            )
+            packed = np.asarray(packed)  # the single D2H of the step
+            self._last_vpred = packed[:, 22:23]
+            env_action = env_action_from_decoded(packed)
+        else:
+            action, vpred, self.hidden_state, self._rng = self._step(
+                self.variables, jnp.asarray(img), jnp.asarray(first), self.hidden_state,
+                self._rng, stochastic,
+            )
+            self._last_vpred = np.asarray(vpred)
+            env_action = self._agent_action_to_env(jax.tree.map(np.asarray, action))
         if isinstance(minerl_obs, list):
             return [
                 {k: v[i] for k, v in env_action.items()} for i in range(b)
             ]
+        return {k: v[0] for k, v in env_action.items()}
+
+    def dispatch_action(self, minerl_obs, first: Optional[np.ndarray] = None, stochastic: bool = True):
+        """Async half of get_action: enqueue the device step and return a
+        handle WITHOUT waiting for the result.  Pair with collect_action to
+        overlap host work (env stepping, frame prep) with device compute —
+        requires decode_on_device (single packed output)."""
+        assert self.decode_on_device, "dispatch/collect requires decode_on_device=True"
+        self._ensure_variables()
+        img = self._env_obs_to_agent(minerl_obs)
+        b = img.shape[0]
+        assert b == self.batch_size, f"got {b} obs for batch_size {self.batch_size}"
+        if first is None:
+            first = np.zeros((b, 1), bool)
+        else:
+            first = np.asarray(first, bool).reshape(b, 1)
+        packed, self.hidden_state, self._rng = self._step(
+            self.variables, jnp.asarray(img), jnp.asarray(first), self.hidden_state,
+            self._rng, stochastic,
+        )
+        try:
+            packed.copy_to_host_async()  # start the D2H early where supported
+        except Exception:
+            pass
+        return packed
+
+    def collect_action(self, handle):
+        """Sync half: wait for a dispatch_action handle and decode to env
+        actions (list when batch_size > 1)."""
+        from vpt_tpu.actions.device_decode import env_action_from_decoded
+
+        packed = np.asarray(handle)
+        self._last_vpred = packed[:, 22:23]
+        env_action = env_action_from_decoded(packed)
+        if self.batch_size > 1:
+            return [{k: v[i] for k, v in env_action.items()} for i in range(self.batch_size)]
         return {k: v[0] for k, v in env_action.items()}
 
     def predict_value(self, minerl_obs, first: Optional[np.ndarray] = None) -> np.ndarray:

@@ -38,6 +38,60 @@ class MockMinecraftEnv:
         return obs, 0.0, done, {}
 
 
+class PipelinedRolloutRunner:
+    """Two stream groups pipelined against each other: while the device runs
+    group A's step (and its result transfers back), the host steps group B's
+    envs and prepares B's frames — hiding host/env/transfer latency behind
+    device compute.  Needs two agents (independent recurrent state), which
+    should share one variables tree.
+
+    Semantics are identical to running each group with BatchedRolloutRunner —
+    groups are independent sets of env streams.
+
+    NOTE: this wins when host/env work per step is comparable to device
+    compute (typical real deployments).  On remote-attached TPUs with large
+    per-transfer RTT the host still serializes on each group's readback —
+    prefer one larger batch there."""
+
+    def __init__(self, agent_a, agent_b, envs_a: List, envs_b: List):
+        assert agent_a.batch_size == len(envs_a) and agent_b.batch_size == len(envs_b)
+        self.groups = [
+            {"agent": agent_a, "envs": envs_a,
+             "obs": [e.reset() for e in envs_a],
+             "firsts": np.ones(len(envs_a), bool)},
+            {"agent": agent_b, "envs": envs_b,
+             "obs": [e.reset() for e in envs_b],
+             "firsts": np.ones(len(envs_b), bool)},
+        ]
+
+    def _advance(self, g, actions):
+        for i, (env, action) in enumerate(zip(g["envs"], actions)):
+            obs, reward, done, info = env.step(action)
+            if done:
+                obs = env.reset()
+                g["firsts"][i] = True
+            else:
+                g["firsts"][i] = False
+            g["obs"][i] = obs
+
+    def run(self, n_steps: int) -> dict:
+        a, b = self.groups
+        t0 = time.perf_counter()
+        handle_a = a["agent"].dispatch_action(a["obs"], first=a["firsts"])
+        total = 0
+        for _ in range(n_steps):
+            # device: B computes / A's result transfers — host: step A's envs
+            handle_b = b["agent"].dispatch_action(b["obs"], first=b["firsts"])
+            self._advance(a, a["agent"].collect_action(handle_a))
+            total += len(a["envs"])
+            handle_a = a["agent"].dispatch_action(a["obs"], first=a["firsts"])
+            self._advance(b, b["agent"].collect_action(handle_b))
+            total += len(b["envs"])
+        a["agent"].collect_action(handle_a)
+        dt = time.perf_counter() - t0
+        return {"frames": total, "seconds": dt, "frames_per_sec": total / dt}
+
+
 class BatchedRolloutRunner:
     """Drives B envs with one batched agent, resetting streams on done."""
 
