@@ -117,6 +117,24 @@ def test_resize_on_device_mode():
     assert same >= 1  # allow one near-tie flip
 
 
+def test_params_dtype_bf16_serving(tmp_path):
+    from vpt_tpu.checkpoint import save_weights
+    import jax
+    import jax.numpy as jnp
+
+    base = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs=PI_KWARGS)
+    base._ensure_variables()
+    path = str(tmp_path / "w.weights")
+    save_weights(path, base.variables)
+    agent = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs=PI_KWARGS,
+                        compute_dtype="bfloat16", params_dtype="bfloat16")
+    agent.load_weights(path)
+    kernels = [x for x in jax.tree.leaves(agent.variables["params"]) if x.ndim >= 2]
+    assert all(k.dtype == jnp.bfloat16 for k in kernels)
+    action = agent.get_action(_obs(seed=9), stochastic=False)
+    assert np.isfinite(action["camera"]).all()
+
+
 def test_weights_round_trip_through_agent(agent, tmp_path):
     from vpt_tpu.checkpoint import save_weights
 

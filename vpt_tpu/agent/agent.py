@@ -50,6 +50,23 @@ TARGET_ACTION_NAMES = {
 }
 
 
+
+
+def _maybe_cast_params(variables, params_dtype: str):
+    """Cast matrix/conv parameters to bfloat16 for serving (halves weight HBM
+    traffic; scalars/vectors — norms, biases, stats — stay float32)."""
+    if params_dtype != "bfloat16":
+        return variables
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 and getattr(x, "ndim", 0) >= 2
+        else x,
+        variables,
+    )
+
 def validate_env(env) -> None:
     """Check the MineRL env matches the recording setup (reference:
     agent.py:84-97).  No-op for envs without the expected attributes."""
@@ -97,7 +114,9 @@ class MineRLAgent:
         resize_on_device: bool = False,
         ring_cache: bool = True,
         decode_on_device: bool = True,
+        params_dtype: str = "float32",
     ):
+        self.params_dtype = params_dtype
         self.resize_on_device = resize_on_device
         # decode sampled joint actions to the factored env space inside the
         # jitted step: ONE (B, 23) device→host transfer per step (buttons,
@@ -183,6 +202,7 @@ class MineRLAgent:
         self._ensure_variables()
         sd = load_weights(path)
         self.variables, report = state_dict_to_variables(sd, variables=self.variables)
+        self.variables = _maybe_cast_params(self.variables, self.params_dtype)
         if report["unexpected"] or report["shape_mismatch"]:
             print(
                 f"[vpt_tpu] load_weights: ignored {len(report['unexpected'])} unexpected keys, "

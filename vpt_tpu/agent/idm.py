@@ -34,7 +34,9 @@ class IDMAgent:
         pi_head_kwargs: Dict[str, Any],
         device=None,  # API compat
         compute_dtype: str = "float32",
+        params_dtype: str = "float32",
     ):
+        self.params_dtype = params_dtype
         self.action_mapper = IDMActionMapping(n_camera_bins=11)
         self.action_transformer = ActionTransformer(**ACTION_TRANSFORMER_KWARGS)
         self.cfg = PolicyConfig.from_kwargs(dict(idm_net_kwargs)).replace(
@@ -74,6 +76,9 @@ class IDMAgent:
         self._ensure_variables()
         sd = load_weights(path)
         self.variables, report = state_dict_to_variables(sd, variables=self.variables)
+        from vpt_tpu.agent.agent import _maybe_cast_params
+
+        self.variables = _maybe_cast_params(self.variables, self.params_dtype)
         if report["unexpected"] or report["shape_mismatch"]:
             print(
                 f"[vpt_tpu] load_weights: ignored {len(report['unexpected'])} unexpected keys, "
