@@ -122,7 +122,7 @@ def test_attention_layer_parity():
             if 0 <= dd < MAXLEN:
                 D[:, i, j] = sd["b_nd"][:, dd]
     logits = logits + torch.einsum("bhtn,ntT->bhtT", Rh, D)
-    logits = logits + torch.where(torch.from_numpy(np.asarray(mask))[:, None], 0.0, -1e9)
+    logits = logits + torch.where(torch.from_numpy(np.array(mask))[:, None], 0.0, -1e9)
     w = torch.softmax(logits, dim=-1)
     a = torch.einsum("bhtT,bhTd->bhtd", w, vh.float())
     a = a.permute(0, 2, 1, 3).reshape(2, T_, HID)
