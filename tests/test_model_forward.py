@@ -170,3 +170,23 @@ def test_lstm_recurrence():
         np.asarray(out_fresh2["pi_logits"]["buttons"]),
         atol=1e-6,
     )
+
+
+def test_bilstm_recurrence():
+    """multi_layer_bilstm: even-numbered blocks run their LSTM reversed
+    (reference: lib/util.py:198-201, 221-225)."""
+    cfg = TINY.replace(recurrence_type="multi_layer_bilstm")
+    model = MinecraftAgentPolicy(cfg=cfg, head_specs=SPECS, temperature=2.0)
+    img = _img(1, 4)
+    state = policy_initial_state(cfg, 1)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.array(img), jnp.zeros((1, 4), bool), state)
+    out, _ = model.apply(variables, jnp.array(img), jnp.zeros((1, 4), bool), state)
+    assert out["pi_logits"]["buttons"].shape == (1, 4, 1, 23)
+    # bidirectional: the last frame influences the first frame's logits
+    img2 = img.copy()
+    img2[:, -1] = 255 - img2[:, -1]
+    out2, _ = model.apply(variables, jnp.array(img2), jnp.zeros((1, 4), bool), state)
+    diff = np.abs(
+        np.asarray(out["pi_logits"]["buttons"][:, 0]) - np.asarray(out2["pi_logits"]["buttons"][:, 0])
+    ).max()
+    assert diff > 1e-7

@@ -145,3 +145,42 @@ def test_log_softmax_temperature_parity():
     t = t.reshape(3, 1, 9) / 2.0
     t = F.log_softmax(t.float(), dim=-1)
     np.testing.assert_allclose(ours, t.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_attention_layer_parity_with_layernorm():
+    """norm='layer' variant: the skip connection must carry the PRE-ln_x input
+    (reference xf.py:358-360 — regression for the residual-semantics fix)."""
+    HID, HEADS, MAXLEN, T_ = 32, 4, 4, 8
+    layer = SelfAttentionLayer(
+        x_size=HID, heads=HEADS, maxlen=MAXLEN, relattn=False,
+        use_muP_factor=False, norm="layer", attention_impl="xla",
+    )
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(2, T_, HID)).astype(np.float32)
+    cache = (jnp.zeros((2, MAXLEN, HID)), jnp.zeros((2, MAXLEN, HID)))
+    mask = jnp.broadcast_to(band_diagonal_mask(T_, T_ + MAXLEN, MAXLEN)[None], (2, T_, T_ + MAXLEN))
+    mask = mask.at[:, :, :MAXLEN].set(False)
+    params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), cache, mask)
+    ours = np.asarray(layer.apply(params, jnp.asarray(x), cache, mask)[0])
+
+    sd = {k: torch.from_numpy(v.copy()) for k, v in variables_to_state_dict(params).items()}
+    xt = torch.from_numpy(x)
+    xn = F.layer_norm(xt, (HID,), sd["ln_x.weight"], sd["ln_x.bias"], eps=1e-5)
+    q = F.linear(xn, sd["q_layer.weight"], sd["q_layer.bias"])
+    k = F.linear(xn, sd["k_layer.weight"])
+    v = F.linear(xn, sd["v_layer.weight"])
+    k_full = torch.cat([torch.zeros(2, MAXLEN, HID), k], dim=1)
+    v_full = torch.cat([torch.zeros(2, MAXLEN, HID), v], dim=1)
+
+    def split(z, T):
+        return z.view(2, T, HEADS, HID // HEADS).permute(0, 2, 1, 3)
+
+    qh, kh, vh = split(q, T_), split(k_full, T_ + MAXLEN), split(v_full, T_ + MAXLEN)
+    d = HID // HEADS
+    logits = torch.einsum("bhtd,bhTd->bhtT", qh.float(), kh.float()) / (d ** 0.5)
+    logits = logits + torch.where(torch.from_numpy(np.array(mask))[:, None], 0.0, -1e9)
+    w = torch.softmax(logits, dim=-1)
+    a = torch.einsum("bhtT,bhTd->bhtd", w, vh.float()).permute(0, 2, 1, 3).reshape(2, T_, HID)
+    # reference: output = x (PRE-ln) + proj(attention)
+    out = xt + F.linear(a, sd["proj_layer.weight"], sd["proj_layer.bias"])
+    np.testing.assert_allclose(ours, out.numpy(), rtol=2e-4, atol=2e-5)
