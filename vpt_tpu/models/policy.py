@@ -197,6 +197,37 @@ class MinecraftAgentPolicy(nn.Module):
             state_out,
         )
 
+    # -- reference-API conveniences (reference: policy.py:271-339), callable
+    # -- via model.apply(variables, ..., method="act") etc.
+
+    def act(self, img, first, state, rng, stochastic: bool = True):
+        """One observation step (adds/strips the time dim like the reference's
+        MinecraftAgentPolicy.act, policy.py:307-328).
+
+        :param img: (B, H, W, C) single observation per stream
+        :returns: (action dict (B, ...), state_out,
+                   {"log_prob": (B,), "vpred": (B,)})
+        """
+        from vpt_tpu.models.heads import dict_logprob, dict_sample
+
+        out, state_out = self(img[:, None], first[:, None], state)
+        logits = {k: v[:, 0] for k, v in out["pi_logits"].items()}
+        action = dict_sample(rng, logits, self.head_specs, deterministic=not stochastic)
+        log_prob = dict_logprob(logits, action, self.head_specs)
+        return action, state_out, {"log_prob": log_prob, "vpred": out["vpred"][:, 0, 0]}
+
+    def get_output_for_observation(self, img, state, first):
+        """(pd, denormalized value, state_out) for one observation per stream
+        (reference: policy.py:287-305)."""
+        out, state_out = self(img[:, None], first[:, None], state)
+        pd = {k: v[:, 0] for k, v in out["pi_logits"].items()}
+        return pd, out["vpred"][:, 0, 0], state_out
+
+    def v(self, img, first, state):
+        """Value prediction only (reference: policy.py:330-339)."""
+        out, _ = self(img[:, None], first[:, None], state)
+        return out["vpred"][:, 0, 0]
+
 
 class InverseActionNet(nn.Module):
     """IDM trunk: Conv3D → Impala → bidirectional transformer
@@ -294,6 +325,36 @@ class InverseActionPolicy(nn.Module):
     def __call__(self, img, first, state, action_mask: Optional[Dict] = None):
         latent, state_out = self.net(img, first, state)
         return {"pi_logits": self.pi_head(latent, mask=action_mask)}, state_out
+
+    def predict(self, img, first, state, deterministic: bool = True, rng=None):
+        """(action, state_out, {"log_prob", "pd"}) over a frame window
+        (reference: policy.py:448-464)."""
+        import jax
+
+        from vpt_tpu.models.heads import dict_logprob, dict_sample
+
+        out, state_out = self(img, first, state)
+        pd = out["pi_logits"]
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+        action = dict_sample(key, pd, self.head_specs, deterministic=deterministic)
+        log_prob = dict_logprob(pd, action, self.head_specs)
+        return action, state_out, {"log_prob": log_prob, "pd": pd}
+
+
+def get_logprob_of_action(head_specs: Tuple[HeadSpec, ...], pd: Dict, action: Dict):
+    """Log-probability of ``action`` under distribution params ``pd``
+    (reference: policy.py:271-279; pure function — no params needed)."""
+    from vpt_tpu.models.heads import dict_logprob
+
+    return dict_logprob(pd, action, head_specs)
+
+
+def get_kl_of_action_dists(head_specs: Tuple[HeadSpec, ...], pd1: Dict, pd2: Dict):
+    """KL divergence between two action distributions
+    (reference: policy.py:281-285)."""
+    from vpt_tpu.models.heads import dict_kl
+
+    return dict_kl(pd1, pd2, head_specs)
 
 
 def policy_initial_state(cfg: PolicyConfig, batchsize: int, ring: bool = False):
