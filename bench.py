@@ -174,6 +174,22 @@ def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
     return batch * chunk * steps / dt
 
 
+def bench_rollout_e2e(n_streams: int = N_STREAMS, width: int = 2,
+                      compute_dtype: str = "bfloat16", steps: int = 30) -> float:
+    """Whole-system serving: mock envs -> host resize -> device step ->
+    device-side decode -> env actions, through the public agent API."""
+    from vpt_tpu.agent import MineRLAgent
+    from vpt_tpu.agent.rollout import BatchedRolloutRunner, MockMinecraftEnv
+    from vpt_tpu.config import FOUNDATION_POLICY_KWARGS
+
+    kwargs = dict(FOUNDATION_POLICY_KWARGS, hidsize=1024 * width, impala_width=4 * width)
+    agent = MineRLAgent(policy_kwargs=kwargs, pi_head_kwargs={"temperature": 2.0},
+                        batch_size=n_streams, compute_dtype=compute_dtype)
+    runner = BatchedRolloutRunner(agent, [MockMinecraftEnv(seed=i) for i in range(n_streams)])
+    runner.run(3)  # compile + warm
+    return runner.run(steps)["frames_per_sec"]
+
+
 def bench_torch_baseline(n_streams: int = N_STREAMS, width: int = 2) -> float:
     """Same architecture, reference framework (torch), available hardware (CPU)."""
     from bench_torch_ref import measure_policy_step_fps
@@ -186,9 +202,20 @@ def main():
     ap.add_argument("--streams", type=int, default=N_STREAMS)
     ap.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--remeasure-baseline", action="store_true")
-    ap.add_argument("--metric", default="rollout", choices=["rollout", "idm", "bc"])
+    ap.add_argument("--metric", default="rollout", choices=["rollout", "rollout-e2e", "idm", "bc"])
     ap.add_argument("--width", type=int, default=2, help="Foundation width multiple (1/2/3)")
     args = ap.parse_args()
+
+    if args.metric == "rollout-e2e":
+        fps = bench_rollout_e2e(n_streams=args.streams, width=args.width,
+                                compute_dtype=args.compute_dtype)
+        print(json.dumps({
+            "metric": f"end-to-end serving (mock envs), {args.width}x arch, {args.streams} streams",
+            "value": round(fps, 2),
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
 
     if args.metric == "bc":
         fps = bench_bc_train(compute_dtype=args.compute_dtype)

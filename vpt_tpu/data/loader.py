@@ -25,6 +25,11 @@ Two batch geometries:
 Host parallelism: N worker processes, each owning whole trajectories (decode +
 fixups + resize in the worker), bounded queues, quit event — the same process
 architecture as the reference, with the native decoder instead of cv2.
+
+NOTE: workers use the multiprocessing *spawn* context (JAX parents are
+multi-threaded; fork would risk deadlocks), so the program that constructs a
+loader must be importable — a script with the usual ``if __name__ ==
+"__main__"`` guard, not a bare REPL/stdin session.
 """
 
 from __future__ import annotations
