@@ -28,7 +28,7 @@ from vpt_tpu.config import (
 from vpt_tpu.models.heads import dict_sample, head_specs_from_space
 from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
 from vpt_tpu.spaces import DictType
-from vpt_tpu.checkpoint import load_weights, state_dict_to_variables
+from vpt_tpu.checkpoint import cast_params, load_weights, state_dict_to_variables
 
 ENV_KWARGS = dict(  # reference: agent.py:47-54
     fov_range=[70, 70],
@@ -50,22 +50,6 @@ TARGET_ACTION_NAMES = {
 }
 
 
-
-
-def _maybe_cast_params(variables, params_dtype: str):
-    """Cast matrix/conv parameters to bfloat16 for serving (halves weight HBM
-    traffic; scalars/vectors — norms, biases, stats — stay float32)."""
-    if params_dtype != "bfloat16":
-        return variables
-    import jax
-    import jax.numpy as jnp
-
-    return jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 and getattr(x, "ndim", 0) >= 2
-        else x,
-        variables,
-    )
 
 def validate_env(env) -> None:
     """Check the MineRL env matches the recording setup (reference:
@@ -196,13 +180,14 @@ class MineRLAgent:
             self.variables = jax.jit(self.policy.init)(
                 jax.random.PRNGKey(0), img, jnp.zeros((1, 1), bool), state
             )
+            self.variables = cast_params(self.variables, self.params_dtype)
 
     def load_weights(self, path: str) -> None:
         """Load a reference ``.weights`` file (strict=False) and reset state."""
         self._ensure_variables()
         sd = load_weights(path)
         self.variables, report = state_dict_to_variables(sd, variables=self.variables)
-        self.variables = _maybe_cast_params(self.variables, self.params_dtype)
+        self.variables = cast_params(self.variables, self.params_dtype)
         if report["unexpected"] or report["shape_mismatch"]:
             print(
                 f"[vpt_tpu] load_weights: ignored {len(report['unexpected'])} unexpected keys, "
@@ -269,22 +254,15 @@ class MineRLAgent:
         else:
             first = np.asarray(first, bool).reshape(b, 1)
         if self.decode_on_device:
-            from vpt_tpu.actions.device_decode import env_action_from_decoded
-
-            packed, self.hidden_state, self._rng = self._step(
-                self.variables, jnp.asarray(img), jnp.asarray(first), self.hidden_state,
-                self._rng, stochastic,
-            )
-            packed = np.asarray(packed)  # the single D2H of the step
-            self._last_vpred = packed[:, 22:23]
-            env_action = env_action_from_decoded(packed)
-        else:
-            action, vpred, self.hidden_state, self._rng = self._step(
-                self.variables, jnp.asarray(img), jnp.asarray(first), self.hidden_state,
-                self._rng, stochastic,
-            )
-            self._last_vpred = np.asarray(vpred)
-            env_action = self._agent_action_to_env(jax.tree.map(np.asarray, action))
+            handle = self._dispatch_prepared(img, first, stochastic,
+                                             as_list=isinstance(minerl_obs, list))
+            return self.collect_action(handle)
+        action, vpred, self.hidden_state, self._rng = self._step(
+            self.variables, jnp.asarray(img), jnp.asarray(first), self.hidden_state,
+            self._rng, stochastic,
+        )
+        self._last_vpred = np.asarray(vpred)
+        env_action = self._agent_action_to_env(jax.tree.map(np.asarray, action))
         if isinstance(minerl_obs, list):
             return [
                 {k: v[i] for k, v in env_action.items()} for i in range(b)
@@ -305,6 +283,10 @@ class MineRLAgent:
             first = np.zeros((b, 1), bool)
         else:
             first = np.asarray(first, bool).reshape(b, 1)
+        return self._dispatch_prepared(img, first, stochastic,
+                                       as_list=isinstance(minerl_obs, list))
+
+    def _dispatch_prepared(self, img, first, stochastic, as_list: bool):
         packed, self.hidden_state, self._rng = self._step(
             self.variables, jnp.asarray(img), jnp.asarray(first), self.hidden_state,
             self._rng, stochastic,
@@ -313,17 +295,19 @@ class MineRLAgent:
             packed.copy_to_host_async()  # start the D2H early where supported
         except Exception:
             pass
-        return packed
+        return (packed, as_list)
 
     def collect_action(self, handle):
         """Sync half: wait for a dispatch_action handle and decode to env
-        actions (list when batch_size > 1)."""
+        actions (a list iff the dispatched obs was a list — same convention
+        as get_action)."""
         from vpt_tpu.actions.device_decode import env_action_from_decoded
 
-        packed = np.asarray(handle)
+        packed, as_list = handle
+        packed = np.asarray(packed)
         self._last_vpred = packed[:, 22:23]
         env_action = env_action_from_decoded(packed)
-        if self.batch_size > 1:
+        if as_list:
             return [{k: v[i] for k, v in env_action.items()} for i in range(self.batch_size)]
         return {k: v[0] for k, v in env_action.items()}
 

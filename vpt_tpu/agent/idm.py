@@ -76,9 +76,9 @@ class IDMAgent:
         self._ensure_variables()
         sd = load_weights(path)
         self.variables, report = state_dict_to_variables(sd, variables=self.variables)
-        from vpt_tpu.agent.agent import _maybe_cast_params
+        from vpt_tpu.checkpoint import cast_params
 
-        self.variables = _maybe_cast_params(self.variables, self.params_dtype)
+        self.variables = cast_params(self.variables, self.params_dtype)
         if report["unexpected"] or report["shape_mismatch"]:
             print(
                 f"[vpt_tpu] load_weights: ignored {len(report['unexpected'])} unexpected keys, "

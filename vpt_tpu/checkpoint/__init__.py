@@ -1,4 +1,5 @@
 from vpt_tpu.checkpoint.torch_import import (
+    cast_params,
     load_model_parameters,
     save_model_parameters,
     load_weights,
@@ -8,6 +9,7 @@ from vpt_tpu.checkpoint.torch_import import (
 )
 
 __all__ = [
+    "cast_params",
     "load_model_parameters",
     "save_model_parameters",
     "load_weights",

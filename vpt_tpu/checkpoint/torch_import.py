@@ -255,6 +255,22 @@ def variables_to_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+def cast_params(variables: Dict, params_dtype: str) -> Dict:
+    """Cast matrix/conv parameters to bfloat16 for serving (halves weight HBM
+    traffic; scalars/vectors — norm scales, biases, stats — stay float32)."""
+    if params_dtype != "bfloat16":
+        return variables
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 and getattr(x, "ndim", 0) >= 2
+        else x,
+        variables,
+    )
+
+
 def load_weights(path: str) -> Dict[str, np.ndarray]:
     """Read a ``.weights`` file (torch.save'd state_dict) into numpy arrays."""
     import torch

@@ -240,7 +240,7 @@ class DataLoader:
             qi = self.n_steps_processed % self.n_workers
             try:
                 workitem = self.output_queues[qi].get(timeout=QUEUE_TIMEOUT)
-            except Exception:
+            except queue_mod.Empty:
                 if not self.processes[qi].is_alive():
                     raise RuntimeError(
                         f"data worker {qi} died (exitcode {self.processes[qi].exitcode}); "
@@ -433,7 +433,7 @@ class SequenceDataLoader:
                 raise StopIteration()
             try:
                 item = self.output_queues[i].get(timeout=QUEUE_TIMEOUT)
-            except Exception:
+            except queue_mod.Empty:
                 if not self.processes[i].is_alive():
                     raise RuntimeError(
                         f"data worker {i} died (exitcode {self.processes[i].exitcode}); "

@@ -335,8 +335,10 @@ class InverseActionPolicy(nn.Module):
 
         out, state_out = self(img, first, state)
         pd = out["pi_logits"]
-        key = rng if rng is not None else jax.random.PRNGKey(0)
-        action = dict_sample(key, pd, self.head_specs, deterministic=deterministic)
+        if rng is None:
+            assert deterministic, "predict(deterministic=False) requires an rng key"
+            rng = jax.random.PRNGKey(0)  # unused by the argmax path
+        action = dict_sample(rng, pd, self.head_specs, deterministic=deterministic)
         log_prob = dict_logprob(pd, action, self.head_specs)
         return action, state_out, {"log_prob": log_prob, "pd": pd}
 

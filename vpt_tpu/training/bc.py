@@ -233,7 +233,12 @@ class BCTrainer:
             payload, data_state = native_ckpt.restore_checkpoint(resume_dir, template=template)
             if payload is not None:
                 self.variables = self._place_variables(payload["variables"])
-                self.opt_state = jax.jit(lambda x: x)(payload["opt_state"])
+                # place restored moments exactly like a fresh optimizer.init
+                # would (replicated, or tp-sharded following the params)
+                ref_state = jax.jit(self.optimizer.init)(self.variables["params"])
+                self.opt_state = jax.tree.map(
+                    lambda ref, x: jax.device_put(x, ref.sharding), ref_state, payload["opt_state"]
+                )
                 if data_state:
                     start_traj = int(data_state.get("n_trajectories_dispatched", 0))
                     self.step_count = int(data_state.get("step_count", 0))
