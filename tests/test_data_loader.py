@@ -168,3 +168,44 @@ def test_sequence_loader_camera_values(tmp_path):
         assert not m.BUTTON_IDX_TO_CAMERA_META_OFF[batch["buttons"]].any()
     finally:
         loader.close()
+
+
+def test_video_reader_matches_cv2_videocapture(tmp_path):
+    """Native libav decoder vs cv2.VideoCapture frame-by-frame on the same
+    file (the reference decodes with cv2.VideoCapture, data_loader.py:63)."""
+    cv2 = pytest.importorskip("cv2")
+    from vpt_tpu.data.video import VideoReader
+
+    rng = np.random.default_rng(0)
+    # smooth gradient frames compress losslessly enough to be stable, plus a
+    # couple of random-noise frames to stress chroma subsampling agreement
+    frames = []
+    for i in range(8):
+        yy, xx = np.mgrid[0:H, 0:W]
+        frame = np.stack(
+            [(xx * 2 + i * 11) % 256, (yy * 3 + i * 7) % 256, ((xx + yy) + i * 5) % 256], -1
+        ).astype(np.uint8)
+        frames.append(frame)
+    frames.append(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+    video_path = str(tmp_path / "parity.mp4")
+    with VideoWriter(video_path, W, H, fps=20) as w:
+        for f in frames:
+            w.write(f)
+
+    cap = cv2.VideoCapture(video_path)
+    reader = VideoReader(video_path)
+    n = 0
+    try:
+        while True:
+            ok, want_bgr = cap.read()
+            got = reader.read()
+            assert ok == (got is not None), f"frame-count mismatch at {n}"
+            if not ok:
+                break
+            want = want_bgr[:, :, ::-1]  # BGR → RGB
+            np.testing.assert_array_equal(got, want, err_msg=f"frame {n}")
+            n += 1
+    finally:
+        cap.release()
+        reader.close()
+    assert n == len(frames)

@@ -1,5 +1,17 @@
+"""Resize correctness.
+
+The strongest oracle here is cv2 itself (installed in this image): the
+reference's loudest footgun is "do not resize with any function other than
+INTER_LINEAR" (reference agent.py:100-103), so ``resize_uint8_exact`` and the
+native C++ kernel are asserted bit-for-bit equal to
+``cv2.resize(..., INTER_LINEAR)`` — including the 640x360 -> 128x128 hot path
+and randomized up/down/mixed-scale fuzz.  Float-math oracles (torch, scalar
+bilinear) remain as implementation-independent cross-checks.
+"""
+
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from vpt_tpu.ops.resize import resize_bilinear_jnp, resize_image, resize_uint8_exact
 
@@ -13,23 +25,19 @@ def _float_bilinear_oracle(img, dst_w, dst_h):
         fy = (y + 0.5) * src_h / dst_h - 0.5
         sy = int(np.floor(fy))
         fy -= sy
-        if sy < 0:
-            sy, fy = 0, 0.0
-        if sy >= src_h - 1:
-            sy, fy = src_h - 2, 1.0
+        y0 = min(max(sy, 0), src_h - 1)
+        y1 = min(max(sy + 1, 0), src_h - 1)
         for x in range(dst_w):
             fx = (x + 0.5) * src_w / dst_w - 0.5
             sx = int(np.floor(fx))
             fx -= sx
-            if sx < 0:
-                sx, fx = 0, 0.0
-            if sx >= src_w - 1:
-                sx, fx = src_w - 2, 1.0
+            x0 = min(max(sx, 0), src_w - 1)
+            x1 = min(max(sx + 1, 0), src_w - 1)
             out[y, x] = (
-                img[sy, sx] * (1 - fx) * (1 - fy)
-                + img[sy, sx + 1] * fx * (1 - fy)
-                + img[sy + 1, sx] * (1 - fx) * fy
-                + img[sy + 1, sx + 1] * fx * fy
+                img[y0, x0] * (1 - fx) * (1 - fy)
+                + img[y0, x1] * fx * (1 - fy)
+                + img[y1, x0] * (1 - fx) * fy
+                + img[y1, x1] * fx * fy
             )
     return out
 
@@ -99,46 +107,85 @@ def test_torch_bilinear_independent_oracle():
     assert np.abs(got - want).max() <= 1.0
 
 
-def _scalar_fixed_point_reference(img, dst_w, dst_h):
-    """Straight scalar transcription of the documented cv2 8U fixed-point
-    pipeline (11-bit coefficients; vertical ((b0·(r0>>4))>>16)+((b1·(r1>>4))
-    >>16)+2)>>2) — catches vectorization bugs in resize_uint8_exact."""
-    src_h, src_w = img.shape[:2]
-    chans = img.shape[2] if img.ndim == 3 else 1
-    flat = img.reshape(src_h, src_w, chans).astype(np.int64)
+# ---------------------------------------------------------------------------
+# cv2 oracle: bit-exact equality with the library the reference actually uses
+# ---------------------------------------------------------------------------
 
-    def coeffs(src, dst):
-        out = []
-        for x in range(dst):
-            fx = (x + 0.5) * src / dst - 0.5
-            sx = int(np.floor(fx))
-            fx -= sx
-            if sx < 0:
-                sx, fx = 0, 0.0
-            if sx >= src - 1:
-                sx, fx = src - 2 if src > 1 else 0, 1.0
-            a0 = int(np.clip(round((1.0 - fx) * 2048), -32768, 32767))
-            out.append((sx, a0, 2048 - a0))
-        return out
-
-    cx = coeffs(src_w, dst_w)
-    cy = coeffs(src_h, dst_h)
-    out = np.zeros((dst_h, dst_w, chans), np.uint8)
-    for y in range(dst_h):
-        sy, b0, b1 = cy[y]
-        for x in range(dst_w):
-            sx, a0, a1 = cx[x]
-            for c in range(chans):
-                r0 = flat[sy, sx, c] * a0 + flat[sy, min(sx + 1, src_w - 1), c] * a1
-                r1 = flat[min(sy + 1, src_h - 1), sx, c] * a0 + flat[min(sy + 1, src_h - 1), min(sx + 1, src_w - 1), c] * a1
-                v = ((b0 * (r0 >> 4)) >> 16) + (((b1 * (r1 >> 4)) >> 16) + 2)
-                out[y, x, c] = np.uint8((v >> 2) & 0xFF) if (v >> 2) <= 255 else 255
-    return out.reshape((dst_h, dst_w) + img.shape[2:])
+cv2 = pytest.importorskip("cv2")
 
 
-def test_vectorized_matches_scalar_spec():
-    rng = np.random.default_rng(6)
-    img = rng.integers(0, 255, (23, 37, 3), dtype=np.uint8)
-    got = resize_uint8_exact(img, (12, 9))
-    want = _scalar_fixed_point_reference(img, 12, 9)
+def _assert_matches_cv2(img, wh):
+    want = cv2.resize(img, wh, interpolation=cv2.INTER_LINEAR)
+    got = resize_uint8_exact(img, wh).reshape(want.shape)
     np.testing.assert_array_equal(got, want)
+
+
+def test_cv2_reference_hot_path():
+    """640x360 -> 128x128 is the exact resize in reference agent.py:100-103."""
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (360, 640, 3), dtype=np.uint8)
+    _assert_matches_cv2(img, (128, 128))
+
+
+def test_cv2_idm_hot_path():
+    """1280x720 -> 128x128 (reference run_inverse_dynamics_model.py scale)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (720, 1280, 3), dtype=np.uint8)
+    _assert_matches_cv2(img, (128, 128))
+
+
+@pytest.mark.parametrize(
+    "shape,wh",
+    [
+        ((45, 80, 3), (16, 16)),    # downscale
+        ((8, 8), (32, 20)),         # upscale (border rows exercise raw coeffs)
+        ((2, 2, 3), (3, 3)),        # tiny upscale, all-border
+        ((50, 50, 3), (150, 150)),  # 3x upscale
+        ((123, 140, 3), (154, 268)),  # mixed, fractional scale
+        ((1, 1, 3), (5, 5)),        # degenerate source
+        ((1, 77), (13, 90)),        # single-row source
+        ((77, 1), (90, 13)),        # single-col source
+        ((128, 128, 3), (360, 640)),  # inverse of the hot path
+    ],
+)
+def test_cv2_exact_cases(shape, wh):
+    rng = np.random.default_rng(sum(shape) + sum(wh))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    _assert_matches_cv2(img, wh)
+
+
+def test_cv2_fuzz():
+    rng = np.random.default_rng(12)
+    for _ in range(60):
+        sh = (int(rng.integers(1, 200)), int(rng.integers(1, 200)), int(rng.choice([1, 3])))
+        if sh[2] == 1:
+            sh = sh[:2]
+        wh = (int(rng.integers(1, 200)), int(rng.integers(1, 200)))
+        img = rng.integers(0, 256, sh, dtype=np.uint8)
+        _assert_matches_cv2(img, wh)
+
+
+def test_native_resize_matches_cv2():
+    from vpt_tpu.data.video import native_available, native_resize_u8
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (360, 640, 3), dtype=np.uint8)
+    want = cv2.resize(img, (128, 128), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_array_equal(native_resize_u8(img, (128, 128)), want)
+    for _ in range(20):
+        sh = (int(rng.integers(1, 200)), int(rng.integers(1, 200)), 3)
+        wh = (int(rng.integers(1, 200)), int(rng.integers(1, 200)))
+        img = rng.integers(0, 256, sh, dtype=np.uint8)
+        want = cv2.resize(img, wh, interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_array_equal(native_resize_u8(img, wh), want)
+
+
+def test_resize_image_alias():
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (360, 640, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        resize_image(img, (128, 128)),
+        cv2.resize(img, (128, 128), interpolation=cv2.INTER_LINEAR),
+    )

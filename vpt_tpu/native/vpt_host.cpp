@@ -266,17 +266,18 @@ int vpt_video_writer_close(void* handle) {
 // ---------------------------------------------------------------------------
 
 static void linear_coeffs(int src, int dst, int* sx, int* a0, int* a1) {
+    // cv2's exact quantization: float32 fractional offsets, UNCLAMPED at the
+    // borders (callers clamp gather indices instead — border replicate), and
+    // coefficients rounded half-to-even to 11 fractional bits.  See
+    // vpt_tpu/ops/resize.py for the full contract; cv2-oracle fuzz-tested.
     const double scale = (double)src / dst;
     for (int x = 0; x < dst; ++x) {
-        double fx = (x + 0.5) * scale - 0.5;
+        float fx = (float)((x + 0.5) * scale - 0.5);
         int s = (int)std::floor(fx);
-        fx -= s;
-        if (s < 0) { s = 0; fx = 0.0; }
-        if (s >= src - 1) { s = src > 1 ? src - 2 : 0; fx = 1.0; }
+        fx -= (float)s;
         sx[x] = s;
-        long c = std::lround((1.0 - fx) * 2048.0);
-        a0[x] = (int)std::min(std::max(c, -32768L), 32767L);
-        a1[x] = 2048 - a0[x];
+        a0[x] = (int)std::nearbyintf((1.0f - fx) * 2048.0f);
+        a1[x] = (int)std::nearbyintf(fx * 2048.0f);
     }
 }
 
@@ -295,19 +296,21 @@ void vpt_resize_u8(const uint8_t* src, int sh, int sw, int ch, uint8_t* dst, int
     int* row1 = new int[dw * ch];
     int prev0 = -1, prev1 = -1;
 
+    auto clampi = [](int v, int hi) { return v < 0 ? 0 : (v > hi ? hi : v); };
+
     auto hresize = [&](int syi, int* row) {
         const uint8_t* s = src + (size_t)syi * sw * ch;
         for (int x = 0; x < dw; ++x) {
-            const uint8_t* p0 = s + (size_t)sx[x] * ch;
-            const uint8_t* p1 = s + (size_t)std::min(sx[x] + 1, sw - 1) * ch;
+            const uint8_t* p0 = s + (size_t)clampi(sx[x], sw - 1) * ch;
+            const uint8_t* p1 = s + (size_t)clampi(sx[x] + 1, sw - 1) * ch;
             for (int c = 0; c < ch; ++c)
                 row[x * ch + c] = p0[c] * ax0[x] + p1[c] * ax1[x];
         }
     };
 
     for (int y = 0; y < dh; ++y) {
-        const int s0 = sy[y];
-        const int s1 = std::min(s0 + 1, sh - 1);
+        const int s0 = clampi(sy[y], sh - 1);
+        const int s1 = clampi(sy[y] + 1, sh - 1);
         if (prev0 != s0) { hresize(s0, row0); prev0 = s0; }
         if (prev1 != s1) { hresize(s1, row1); prev1 = s1; }
         uint8_t* d = dst + (size_t)y * dw * ch;

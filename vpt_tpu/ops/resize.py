@@ -1,22 +1,35 @@
-"""Bilinear resize matching OpenCV's INTER_LINEAR.
+"""Bilinear resize matching OpenCV's INTER_LINEAR bit-for-bit.
 
 The VPT models are sensitive to the exact resizer ("For your sanity, do not
 resize with any function than INTER_LINEAR", reference: agent.py:100-103), so
-this reimplements cv2's uint8 bilinear *bit-exactly*:
+this reimplements cv2's uint8 INTER_LINEAR pipeline exactly.  The model was
+reverse-engineered against cv2 5.0 and is validated bit-for-bit by
+tests/test_resize.py (``cv2`` oracle fuzz over random sizes, plus the
+reference's 640x360 -> 128x128 hot path):
 
-  * half-pixel sample mapping  src = (dst + 0.5) * scale - 0.5 with edge clamp;
-  * coefficients quantized to 11 fractional bits (INTER_RESIZE_COEF_SCALE
-    = 2048);
-  * the 8-bit two-pass fixed-point pipeline: integer horizontal pass
-    ``row = S[sx]·a0 + S[sx+1]·a1`` followed by cv2's vertical reduction
-    ``((b0·(row0>>4))>>16) + ((b1·(row1>>4))>>16 + 2) >> 2``.
+  * sample mapping ``f = (float)((dst + 0.5) * (src / dst) - 0.5)`` — the
+    fractional part is computed in float32, and is NOT clamped at the
+    borders; only the gather *indices* are clamped (border replicate).  A
+    destination row above/below the source therefore still blends two
+    (identical, replicated) taps with its raw fractional weights, which
+    matters because of the floor-based reduction below.
+  * coefficients quantized to 11 fractional bits with round-half-even:
+    ``a0 = rint((1.f - f) * 2048.f)``, ``a1 = rint(f * 2048.f)``.
+  * horizontal pass: integer ``row = S[x0]*a0 + S[x1]*a1`` (int32, 11 frac
+    bits, indices border-replicated).
+  * vertical reduction (cv2's 8U kernel, both its scalar and SIMD forms):
+    ``dst = (((b0*(r0>>4))>>16) + ((b1*(r1>>4))>>16) + 2) >> 2``.
+    The two products are floored *separately*, which is why border rows
+    come out biased low vs. naive rounding — reproducing that double floor
+    is required for bit-exactness.
 
 Three implementations:
-  * ``resize_uint8_exact``  — numpy fixed-point (host path; bit-equal to cv2);
+  * ``resize_uint8_exact``  — numpy fixed-point (host path; bit-equal to cv2,
+    cv2-oracle-tested);
   * ``resize_bilinear_jnp`` — float half-pixel bilinear under jit (device-side
     preprocessing graph; ≤1 LSB from the fixed-point result);
   * the C++ data plane (vpt_tpu/native) implements the same fixed-point loop
-    for the decoder hot path.
+    for the decoder hot path (cv2-oracle-tested via ctypes in the same test).
 """
 
 from __future__ import annotations
@@ -32,24 +45,26 @@ COEF_SCALE = 1 << COEF_BITS  # 2048
 
 @lru_cache(maxsize=64)
 def _linear_coeffs(src: int, dst: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-output-pixel (index, alpha0, alpha1) with cv2's mapping + clamping."""
+    """Per-output-pixel (floor index, a0, a1) with cv2's exact quantization.
+
+    The returned index is *unclamped* (may be -1 or src-1 at the borders);
+    callers clamp the two gather indices independently (border replicate).
+    """
     scale = src / dst
-    x = np.arange(dst, dtype=np.float64)
-    fx = (x + 0.5) * scale - 0.5
-    sx = np.floor(fx).astype(np.int64)
-    fx = fx - sx
-    fx[sx < 0] = 0.0
-    sx[sx < 0] = 0
-    too_big = sx >= src - 1
-    fx[too_big] = 1.0
-    sx[too_big] = src - 2 if src > 1 else 0
-    a0 = np.clip(np.round((1.0 - fx) * COEF_SCALE), -32768, 32767).astype(np.int32)
-    a1 = COEF_SCALE - a0
-    return sx, a0, a1
+    f = ((np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5).astype(np.float32)
+    s = np.floor(f).astype(np.int64)
+    f = (f - s).astype(np.float32)
+    # cv2 quantizes via saturate_cast<short>(coef * 2048.f): float32 products,
+    # round half to even.  f is in [0, 1) so saturation never triggers.
+    a0 = np.rint(((np.float32(1.0) - f) * np.float32(COEF_SCALE)).astype(np.float32)).astype(np.int64)
+    a1 = np.rint((f * np.float32(COEF_SCALE)).astype(np.float32)).astype(np.int64)
+    return s, a0, a1
 
 
 def resize_uint8_exact(img: np.ndarray, target_resolution: Tuple[int, int]) -> np.ndarray:
     """cv2.resize(img, (w, h), interpolation=INTER_LINEAR) for uint8 images.
+
+    Bit-exact with cv2 (fuzz-tested in tests/test_resize.py).
 
     :param img: (H, W) or (H, W, C) uint8
     :param target_resolution: (width, height) — cv2 argument order
@@ -59,15 +74,19 @@ def resize_uint8_exact(img: np.ndarray, target_resolution: Tuple[int, int]) -> n
     src_h, src_w = img.shape[:2]
     sx, ax0, ax1 = _linear_coeffs(src_w, dst_w)
     sy, by0, by1 = _linear_coeffs(src_h, dst_h)
+    x0 = np.clip(sx, 0, src_w - 1)
+    x1 = np.clip(sx + 1, 0, src_w - 1)
+    y0 = np.clip(sy, 0, src_h - 1)
+    y1 = np.clip(sy + 1, 0, src_h - 1)
 
-    flat = img.reshape(src_h, src_w, -1).astype(np.int32)
-    # horizontal pass → int32 rows at 11 fractional bits
-    rows = flat[:, sx] * ax0[None, :, None] + flat[:, np.minimum(sx + 1, src_w - 1)] * ax1[None, :, None]
-    # vertical pass: cv2's 8U fixed-point reduction
-    r0 = rows[sy] >> 4
-    r1 = rows[np.minimum(sy + 1, src_h - 1)] >> 4
-    out = ((by0[:, None, None] * r0) >> 16) + (((by1[:, None, None] * r1) >> 16) + 2)
-    out = (out >> 2).astype(np.uint8)
+    flat = img.reshape(src_h, src_w, -1).astype(np.int64)
+    # horizontal pass → integer rows at 11 fractional bits
+    rows = flat[:, x0] * ax0[None, :, None] + flat[:, x1] * ax1[None, :, None]
+    # vertical pass: cv2's 8U reduction — the two products floor separately
+    out = ((by0[:, None, None] * (rows[y0] >> 4)) >> 16) + (
+        ((by1[:, None, None] * (rows[y1] >> 4)) >> 16) + 2
+    )
+    out = np.clip(out >> 2, 0, 255).astype(np.uint8)
     return out.reshape((dst_h, dst_w) + img.shape[2:])
 
 
@@ -82,19 +101,21 @@ def resize_bilinear_jnp(img, target_resolution: Tuple[int, int]):
 
     dst_w, dst_h = target_resolution
     src_h, src_w = img.shape[-3], img.shape[-2]
-    sx, ax0, ax1 = _linear_coeffs(src_w, dst_w)
-    sy, by0, by1 = _linear_coeffs(src_h, dst_h)
+    sx, ax0, _ = _linear_coeffs(src_w, dst_w)
+    sy, by0, _ = _linear_coeffs(src_h, dst_h)
     fax0 = jnp.asarray(ax0 / COEF_SCALE, jnp.float32)
     fby0 = jnp.asarray(by0 / COEF_SCALE, jnp.float32)
-    sx = jnp.asarray(sx)
-    sy = jnp.asarray(sy)
+    x0 = jnp.asarray(np.clip(sx, 0, src_w - 1))
+    x1 = jnp.asarray(np.clip(sx + 1, 0, src_w - 1))
+    y0 = jnp.asarray(np.clip(sy, 0, src_h - 1))
+    y1 = jnp.asarray(np.clip(sy + 1, 0, src_h - 1))
 
     x = img.astype(jnp.float32)
-    left = jnp.take(x, sx, axis=-2)
-    right = jnp.take(x, jnp.minimum(sx + 1, src_w - 1), axis=-2)
+    left = jnp.take(x, x0, axis=-2)
+    right = jnp.take(x, x1, axis=-2)
     rows = left * fax0[:, None] + right * (1.0 - fax0)[:, None]
-    top = jnp.take(rows, sy, axis=-3)
-    bot = jnp.take(rows, jnp.minimum(sy + 1, src_h - 1), axis=-3)
+    top = jnp.take(rows, y0, axis=-3)
+    bot = jnp.take(rows, y1, axis=-3)
     return top * fby0[:, None, None] + bot * (1.0 - fby0)[:, None, None]
 
 
