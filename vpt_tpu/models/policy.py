@@ -22,6 +22,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from vpt_tpu.config import PolicyConfig
 from vpt_tpu.models.heads import (
@@ -41,19 +42,35 @@ def _compute_dtype(cfg: PolicyConfig):
 
 class ImgPreprocessing(nn.Module):
     """uint8 → float32, scaled by 1/255 or normalized by dataset statistics
-    (reference: policy.py:21-45)."""
+    (reference: policy.py:21-45).
+
+    ``img_statistics`` is a path to an npz with full ``mean``/``std``
+    *images* (reference policy.py:29-36 loads them into non-grad params).
+    The file is read only inside the variable initializers, i.e. once at
+    ``model.init`` — never on ``apply``, where the values come from the
+    checkpoint's ``stats`` collection at their true image shapes.
+    """
 
     scale_img: bool = True
-    use_img_statistics: bool = False
+    img_statistics: Optional[str] = None
 
     def setup(self):
-        if self.use_img_statistics:
-            self.img_mean = self.variable("stats", "img_mean", jnp.zeros, (), jnp.float32)
-            self.img_std = self.variable("stats", "img_std", jnp.ones, (), jnp.float32)
+        if self.img_statistics is not None:
+            path = self.img_statistics
+
+            def _load(key):
+                def init():
+                    with np.load(path) as stats:
+                        return jnp.asarray(stats[key], jnp.float32)
+
+                return init
+
+            self.img_mean = self.variable("stats", "img_mean", _load("mean"))
+            self.img_std = self.variable("stats", "img_std", _load("std"))
 
     def __call__(self, img):
         x = img.astype(jnp.float32)
-        if self.use_img_statistics:
+        if self.img_statistics is not None:
             x = (x - self.img_mean.value) / self.img_std.value
         else:
             x = x / (255.0 if self.scale_img else 1.0)
@@ -123,7 +140,7 @@ class MinecraftPolicy(nn.Module):
         dtype = _compute_dtype(cfg)
         self.img_preprocess = ImgPreprocessing(
             scale_img=cfg.scale_input_img,
-            use_img_statistics=cfg.img_statistics is not None,
+            img_statistics=cfg.img_statistics,
         )
         self.img_process = ImgObsProcess(cfg)
         if cfg.use_pre_lstm_ln:
@@ -240,7 +257,7 @@ class InverseActionNet(nn.Module):
         dtype = _compute_dtype(cfg)
         self.img_preprocess = ImgPreprocessing(
             scale_img=cfg.scale_input_img,
-            use_img_statistics=cfg.img_statistics is not None,
+            img_statistics=cfg.img_statistics,
         )
         if cfg.conv3d_params is not None:
             p = dict(cfg.conv3d_params)
