@@ -1,0 +1,213 @@
+"""End-to-end parity against the ACTUAL reference implementation.
+
+``/root/reference`` (openai/Video-Pre-Training) is mounted read-only and used
+here purely as a test oracle: we build the reference's torch
+``MinecraftAgentPolicy`` / ``InverseActionPolicy`` from tiny kwargs, export
+our flax weights through ``variables_to_state_dict``, ``load_state_dict`` them
+into the reference model, and assert end-to-end output parity over a
+multi-chunk stepped rollout with episode resets (policy) and a frame-window
+pass (IDM).  This is the strongest offline checkpoint-fidelity proof that
+exists without network access to the published weights.
+
+The reference imports ``gym3.types`` and ``minerl`` which are not installed;
+both are stubbed (gym3's type algebra is exactly vpt_tpu.spaces, which was
+written against it — reference lib/action_head.py:263-275).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import vpt_tpu.spaces as spaces
+
+REFERENCE = "/root/reference"
+
+
+def _install_reference(path=REFERENCE):
+    import os
+
+    if not os.path.isdir(os.path.join(path, "lib")):
+        pytest.skip("reference checkout unavailable")
+    if "gym3" not in sys.modules:
+        g = types.ModuleType("gym3")
+        t = types.ModuleType("gym3.types")
+        t.DictType = spaces.DictType
+        t.TensorType = spaces.TensorType
+        t.Discrete = spaces.Discrete
+        t.Real = spaces.Real
+        t.ValType = object
+        g.types = t
+        sys.modules["gym3"] = g
+        sys.modules["gym3.types"] = t
+    if "minerl" not in sys.modules:
+        m = types.ModuleType("minerl")
+        hb = types.ModuleType("minerl.herobraine")
+        hero = types.ModuleType("minerl.herobraine.hero")
+        mc = types.ModuleType("minerl.herobraine.hero.mc")
+        mc.MINERL_ITEM_MAP = {}
+        sys.modules.update(
+            {
+                "minerl": m,
+                "minerl.herobraine": hb,
+                "minerl.herobraine.hero": hero,
+                "minerl.herobraine.hero.mc": mc,
+            }
+        )
+    if path not in sys.path:
+        sys.path.insert(0, path)
+
+
+# NOTE: the reference hardcodes cnn_outsize=256 (lib/policy.py:156) and
+# ignores obs_processing_width entirely, so parity configs must use 256.
+TINY_KWARGS = dict(
+    hidsize=64,
+    impala_width=1,
+    impala_chans=[4, 8],
+    img_shape=[32, 32, 3],
+    init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+    impala_kwargs={"post_pool_groups": 1},
+    n_recurrence_layers=2,
+    timesteps=4,
+    attention_heads=4,
+    attention_memory_size=8,
+    recurrence_type="transformer",
+    attention_mask_style="clipped_causal",
+    use_pre_lstm_ln=False,
+    obs_processing_width=256,
+)
+PI_HEAD_KWARGS = {"temperature": 2.0}
+TOL = 2e-4
+
+
+def _torch_sd(variables):
+    import torch as th
+
+    from vpt_tpu.checkpoint.torch_import import variables_to_state_dict
+
+    return {k: th.from_numpy(np.asarray(v)) for k, v in variables_to_state_dict(variables).items()}
+
+
+def test_policy_stepped_rollout_parity():
+    _install_reference()
+    import jax
+    import jax.numpy as jnp
+    import torch as th
+    from lib.action_mapping import CameraHierarchicalMapping as RefMapping
+    from lib.policy import MinecraftAgentPolicy as RefPolicy
+
+    from vpt_tpu.actions.mapping import CameraHierarchicalMapping
+    from vpt_tpu.config import PolicyConfig
+    from vpt_tpu.models.heads import head_specs_from_space
+    from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
+    from vpt_tpu.spaces import DictType
+
+    cfg = PolicyConfig.from_kwargs(TINY_KWARGS)
+    mapper = CameraHierarchicalMapping(n_camera_bins=11)
+    specs = head_specs_from_space(DictType(**mapper.get_action_space_update()))
+    model = MinecraftAgentPolicy(cfg=cfg, head_specs=specs, temperature=2.0)
+
+    B, T = 2, 4
+    img0 = jnp.zeros((B, T, 32, 32, 3), jnp.uint8)
+    first0 = jnp.zeros((B, T), bool)
+    state0 = policy_initial_state(cfg, B)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img0, first0, state0)
+
+    ref_mapper = RefMapping(n_camera_bins=11)
+    ref = RefPolicy(
+        action_space=spaces.DictType(**ref_mapper.get_action_space_update()),
+        policy_kwargs=TINY_KWARGS,
+        pi_head_kwargs=PI_HEAD_KWARGS,
+    ).float().eval()
+    # strict load: every exported leaf must land, nothing may be missing
+    ref.load_state_dict(_torch_sd(variables), strict=True)
+
+    # 5 chunks of T=4 > attention_memory_size=8 → KV cache wraps; resets
+    # land mid-chunk in different streams
+    rng = np.random.default_rng(0)
+    CHUNKS = 5
+    imgs = rng.integers(0, 256, (CHUNKS, B, T, 32, 32, 3), dtype=np.uint8)
+    firsts = np.zeros((CHUNKS, B, T), bool)
+    firsts[0, :, 0] = True
+    firsts[2, 0, 1] = True
+    firsts[3, 1, 3] = True
+
+    step = jax.jit(model.apply)
+    state = policy_initial_state(cfg, B)
+    ref_state = ref.initial_state(B)
+    with th.no_grad():
+        for c in range(CHUNKS):
+            out, state = step(variables, jnp.asarray(imgs[c]), jnp.asarray(firsts[c]), state)
+            (ref_pd, ref_vraw, _), ref_state = ref(
+                {"img": th.from_numpy(imgs[c])}, th.from_numpy(firsts[c]), ref_state
+            )
+            for k in ("buttons", "camera"):
+                ours = np.asarray(out["pi_logits"][k], np.float64)
+                theirs = ref_pd[k].numpy().astype(np.float64).reshape(ours.shape)
+                assert np.abs(ours - theirs).max() <= TOL, (c, k, np.abs(ours - theirs).max())
+            # reference forward returns the *raw* normalized-space value; its
+            # act() wrapper denormalizes (lib/policy.py:267,303-305)
+            ours_raw = np.asarray(out["vpred_raw"], np.float64)
+            theirs_raw = ref_vraw.numpy().astype(np.float64).reshape(ours_raw.shape)
+            assert np.abs(ours_raw - theirs_raw).max() <= TOL, (c, np.abs(ours_raw - theirs_raw).max())
+            ours_v = np.asarray(out["vpred"], np.float64)
+            theirs_v = ref.value_head.denormalize(ref_vraw).numpy().astype(np.float64).reshape(ours_v.shape)
+            assert np.abs(ours_v - theirs_v).max() <= TOL, (c, np.abs(ours_v - theirs_v).max())
+
+
+def test_idm_window_parity():
+    _install_reference()
+    import jax
+    import jax.numpy as jnp
+    import torch as th
+    from lib.policy import InverseActionPolicy as RefIDM
+
+    from vpt_tpu.actions.mapping import IDMActionMapping
+    from vpt_tpu.config import PolicyConfig
+    from vpt_tpu.models.heads import head_specs_from_space
+    from vpt_tpu.models.policy import InverseActionPolicy, policy_initial_state
+    from vpt_tpu.spaces import DictType
+
+    idm_kwargs = dict(TINY_KWARGS)
+    idm_kwargs.update(
+        attention_mask_style="none",
+        conv3d_params={"inchan": 3, "outchan": 4, "kernel_size": [5, 1, 1], "padding": [2, 0, 0]},
+        # img_shape declares the IMPALA input (i.e. post-conv3d channels) in
+        # the reference's kwargs convention — the published 4x IDM uses
+        # [128, 128, 128] the same way
+        img_shape=[32, 32, 4],
+    )
+    cfg = PolicyConfig.from_kwargs(idm_kwargs)
+    mapper = IDMActionMapping(n_camera_bins=11)
+    space = DictType(**mapper.get_action_space_update())
+    specs = head_specs_from_space(space)
+    model = InverseActionPolicy(cfg=cfg, head_specs=specs, temperature=1.0)
+
+    B, T = 1, 4
+    img0 = jnp.zeros((B, T, 32, 32, 3), jnp.uint8)
+    first0 = jnp.zeros((B, T), bool)
+    state0 = policy_initial_state(cfg, B)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), img0, first0, state0)
+
+    ref = RefIDM(
+        action_space=space,
+        pi_head_kwargs={"temperature": 1.0},
+        idm_net_kwargs=idm_kwargs,
+    ).float().eval()
+    ref.load_state_dict(_torch_sd(variables), strict=True)
+
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (B, T, 32, 32, 3), dtype=np.uint8)
+    firsts = np.zeros((B, T), bool)
+    firsts[:, 0] = True
+
+    out, _ = jax.jit(model.apply)(variables, jnp.asarray(imgs), jnp.asarray(firsts), state0)
+    with th.no_grad():
+        (ref_pd, _, _), _ = ref(
+            {"img": th.from_numpy(imgs)}, th.from_numpy(firsts), ref.initial_state(B)
+        )
+    for k in ("buttons", "camera"):
+        ours = np.asarray(out["pi_logits"][k], np.float64)
+        theirs = ref_pd[k].numpy().astype(np.float64).reshape(ours.shape)
+        assert np.abs(ours - theirs).max() <= TOL, (k, np.abs(ours - theirs).max())
