@@ -47,7 +47,7 @@ def test_null_actions_skipped(tmp_path):
     steps = [
         _step(keys=["key.keyboard.w"]),   # forward
         _step(),                           # null → skipped
-        _step(dx=5.0),                     # camera move
+        _step(dx=10.0),                    # camera move (1° after int truncation)
         _step(),                           # null → skipped
         _step(buttons=[0]),                # attack
     ]

@@ -41,6 +41,21 @@ def _install_reference(path=REFERENCE):
         g.types = t
         sys.modules["gym3"] = g
         sys.modules["gym3.types"] = t
+    if "gym" not in sys.modules:
+        # reference agent.py only uses gym.spaces as inert metadata
+        gym = types.ModuleType("gym")
+        gs = types.ModuleType("gym.spaces")
+
+        class _Space:
+            def __init__(self, *a, **k):
+                pass
+
+        gs.Discrete = _Space
+        gs.Box = _Space
+        gs.Dict = _Space
+        gym.spaces = gs
+        sys.modules["gym"] = gym
+        sys.modules["gym.spaces"] = gs
     if "minerl" not in sys.modules:
         m = types.ModuleType("minerl")
         hb = types.ModuleType("minerl.herobraine")
@@ -211,3 +226,39 @@ def test_idm_window_parity():
         ours = np.asarray(out["pi_logits"][k], np.float64)
         theirs = ref_pd[k].numpy().astype(np.float64).reshape(ours.shape)
         assert np.abs(ours - theirs).max() <= TOL, (k, np.abs(ours - theirs).max())
+
+
+def test_json_action_parser_matches_reference():
+    """Differential test: our table-driven recorder-step parser vs the
+    reference's json_action_to_env_action on randomized steps (including the
+    int-truncation camera quirk the reference training pipeline bakes into
+    its data, data_loader.py:14,97)."""
+    _install_reference()
+    import importlib
+    import run_inverse_dynamics_model as ref_mod
+
+    from vpt_tpu.actions import json_action_to_env_action
+
+    rng = np.random.default_rng(0)
+    all_keys = list(ref_mod.KEYBOARD_BUTTON_MAPPING) + ["key.keyboard.unmapped", "key.mouse.weird"]
+    for case in range(300):
+        n_keys = int(rng.integers(0, 4))
+        keys = list(rng.choice(all_keys, size=n_keys, replace=False)) if n_keys else []
+        dx = float(rng.choice([0.0, 0.4, -3.3, 12.0, -2500.0, 7.7]))
+        dy = float(rng.choice([0.0, 0.9, -0.9, 55.5, 2500.0]))
+        buttons = [int(b) for b in np.unique(rng.choice([0, 1, 2, 5], size=int(rng.integers(0, 3))))]
+        step = {
+            "keyboard": {"keys": keys},
+            "mouse": {"x": 0.0, "y": 0.0, "dx": dx, "dy": dy, "buttons": buttons, "newButtons": []},
+            "hotbar": 0,
+            "isGuiOpen": False,
+        }
+        ours, ours_null = json_action_to_env_action(step)
+        theirs, theirs_null = ref_mod.json_action_to_env_action(step)
+        assert ours_null == theirs_null, (case, step)
+        assert set(ours) == set(theirs), case
+        for k in theirs:
+            if k == "camera":
+                np.testing.assert_array_equal(ours[k], theirs[k], err_msg=str((case, step)))
+            else:
+                assert ours[k] == theirs[k], (case, k, step)

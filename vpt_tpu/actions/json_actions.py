@@ -64,50 +64,63 @@ NOOP_ACTION = {
 #  run_inverse_dynamics_model.py:75-77)
 CAMERA_SCALER = 360.0 / 2400.0
 
+# Recorder mouse button index → env button name
+MOUSE_BUTTON_NAMES = {0: "attack", 1: "use", 2: "pickItem"}
+
+
+def parse_recorder_step(json_action):
+    """Structured view of one recorder jsonl step.
+
+    :returns: (held_buttons, (pitch, yaw), mouse_moved) where held_buttons is
+        the set of env button names down on this step (keyboard + mouse; the
+        keyboard table ignores unmapped keys, and ESC is kept as-is — original
+        VPT training rewrote it to "inventory" when the GUI was open, but
+        BASALT needs ESC to quit so the data format keeps it) and
+        (pitch, yaw) is the camera delta in model degrees.
+    """
+    mouse = json_action["mouse"]
+    held = {
+        KEYBOARD_BUTTON_MAPPING[k]
+        for k in json_action["keyboard"]["keys"]
+        if k in KEYBOARD_BUTTON_MAPPING
+    }
+    held.update(
+        name for idx, name in MOUSE_BUTTON_NAMES.items() if idx in mouse["buttons"]
+    )
+    moved = mouse["dx"] != 0 or mouse["dy"] != 0
+    return held, (mouse["dy"] * CAMERA_SCALER, mouse["dx"] * CAMERA_SCALER), moved
+
 
 def json_action_to_env_action(json_action):
     """Convert one recorder jsonl step into a MineRL action dict.
 
-    Returns (env_action, is_null_action).  A step is null when no mapped key is
-    held, the mouse didn't move, and no mouse button is down — these steps are
-    dropped by the BC data pipeline the same way the VPT paper dropped them.
+    Returns (env_action, is_null_action).  A step is null when no button is
+    held and the mouse didn't move — these steps are dropped by the BC data
+    pipeline the same way the VPT paper dropped them.
+
+    Quirk preserved bit-for-bit from the reference (whose training pipeline
+    routes through the same parser, data_loader.py:14,97): the camera slot is
+    an *integer* array, so scaled deltas truncate toward zero to whole
+    degrees on assignment (reference run_inverse_dynamics_model.py:88,103-104
+    — ``np.array([0, 0])`` is int64).  The reference's >180° glitch guard
+    sits in the no-motion branch where the deltas are already zero, so it
+    never fires and is not reproduced here.
     """
-    env_action = NOOP_ACTION.copy()
-    # fresh camera array so the template's is never mutated
-    env_action["camera"] = np.array([0.0, 0.0])
+    held, (pitch, yaw), moved = parse_recorder_step(json_action)
 
-    is_null_action = True
-    for key in json_action["keyboard"]["keys"]:
-        # Unmapped keys are ignored.  NOTE: original VPT training replaced ESC
-        # with "inventory" when the GUI was open; BASALT needs ESC to quit, so
-        # (like the reference) we keep ESC as-is.
-        if key in KEYBOARD_BUTTON_MAPPING:
-            env_action[KEYBOARD_BUTTON_MAPPING[key]] = 1
-            is_null_action = False
+    env_action = dict(NOOP_ACTION, camera=np.array([0, 0]))
+    for name in held:
+        env_action[name] = 1
+    if moved:
+        camera = env_action["camera"]
+        camera[0] = pitch  # int array: truncates toward zero, as upstream
+        camera[1] = yaw
 
-    mouse = json_action["mouse"]
-    camera_action = env_action["camera"]
-    camera_action[0] = mouse["dy"] * CAMERA_SCALER
-    camera_action[1] = mouse["dx"] * CAMERA_SCALER
+    return env_action, not (held or moved)
 
-    if mouse["dx"] != 0 or mouse["dy"] != 0:
-        is_null_action = False
-    else:
-        # guard against absurd recorded deltas on otherwise-still frames
-        if abs(camera_action[0]) > 180:
-            camera_action[0] = 0
-        if abs(camera_action[1]) > 180:
-            camera_action[1] = 0
 
-    mouse_buttons = mouse["buttons"]
-    if 0 in mouse_buttons:
-        env_action["attack"] = 1
-        is_null_action = False
-    if 1 in mouse_buttons:
-        env_action["use"] = 1
-        is_null_action = False
-    if 2 in mouse_buttons:
-        env_action["pickItem"] = 1
-        is_null_action = False
-
-    return env_action, is_null_action
+def json_actions_to_env_actions(json_actions):
+    """Batch form: list of steps → (list of env actions, bool null mask)."""
+    parsed = [json_action_to_env_action(step) for step in json_actions]
+    actions = [a for a, _ in parsed]
+    return actions, np.array([null for _, null in parsed], bool)
