@@ -209,3 +209,74 @@ def test_video_reader_matches_cv2_videocapture(tmp_path):
         cap.release()
         reader.close()
     assert n == len(frames)
+
+
+def _distinct_steps(n, salt=0):
+    # every step non-null with a distinct camera signature
+    return [_step(dx=10.0 * ((i + salt) % 7 + 1)) for i in range(n)]
+
+
+def _collect(loader):
+    out = []
+    try:
+        for batch in loader:
+            out.append(batch)
+    finally:
+        loader.close()
+    return out
+
+
+def test_sequence_loader_mid_trajectory_resume(tmp_path):
+    """Kill-and-resume: the resumed loader consumes exactly the unseen chunks
+    (no skip, no repeat), even mid-trajectory."""
+    for j in range(4):
+        _write_fixture(tmp_path, f"t{j}", _distinct_steps(10 + 3 * j, salt=j))
+    kw = dict(batch_size=2, chunk_len=4, n_epochs=1, seed=7)
+
+    full = _collect(SequenceDataLoader(str(tmp_path), **kw))
+
+    interrupted = SequenceDataLoader(str(tmp_path), **kw)
+    head, state = [], None
+    try:
+        it = iter(interrupted)
+        for _ in range(2):  # consume 2 batches then "die" mid-trajectory
+            head.append(next(it))
+        state = interrupted.state()
+    finally:
+        interrupted.close()
+    assert any(c[1] > 0 for c in state["streams"]), state  # mid-trajectory
+
+    tail = _collect(SequenceDataLoader(str(tmp_path), **kw, resume_state=state))
+
+    resumed = head + tail
+    assert len(resumed) == len(full), (len(resumed), len(full))
+    for b_full, b_res in zip(full, resumed):
+        for key in ("frames", "buttons", "camera", "mask", "episode_ids"):
+            np.testing.assert_array_equal(b_res[key], b_full[key], err_msg=key)
+    # firsts may differ only at the resume boundary chunk (fresh carry)
+
+
+def test_sequence_loader_resume_at_trajectory_boundary(tmp_path):
+    """Resume where a stream had fully consumed its trajectory."""
+    for j in range(4):
+        _write_fixture(tmp_path, f"t{j}", _distinct_steps(8, salt=j))  # 2 chunks each
+    kw = dict(batch_size=2, chunk_len=4, n_epochs=1, seed=3)
+    full = _collect(SequenceDataLoader(str(tmp_path), **kw))
+
+    interrupted = SequenceDataLoader(str(tmp_path), **kw)
+    head = []
+    try:
+        it = iter(interrupted)
+        for _ in range(2):  # exactly 2 chunks -> first trajectories finished
+            head.append(next(it))
+        state = interrupted.state()
+    finally:
+        interrupted.close()
+    assert all(c[1] == 2 for c in state["streams"]), state
+
+    tail = _collect(SequenceDataLoader(str(tmp_path), **kw, resume_state=state))
+    resumed = head + tail
+    assert len(resumed) == len(full)
+    for b_full, b_res in zip(full, resumed):
+        for key in ("frames", "buttons", "camera", "mask", "episode_ids"):
+            np.testing.assert_array_equal(b_res[key], b_full[key], err_msg=key)

@@ -87,15 +87,23 @@ def trajectory_steps(
     cursor=None,
     apply_version_scalers: bool = False,
     quit_event=None,
+    skip_steps: int = 0,
 ):
     """Generator of (frame_128 uint8 RGB, env_action) for one recording,
-    with all reference fixups applied and null actions skipped."""
+    with all reference fixups applied and null actions skipped.
+
+    ``skip_steps`` fast-forwards past the first N *non-null* steps without
+    yielding them (mid-trajectory resume): the sequential fixup state
+    (stuck-attack, hotbar) still advances and every frame is still decoded to
+    keep video/jsonl in step, but cursor compositing and resize are skipped.
+    """
     from vpt_tpu.data.video import VideoReader, native_composite_alpha, native_resize_u8
 
     cursor_rgb, cursor_alpha = cursor if cursor is not None else default_cursor()
     json_data = _load_jsonl(json_path)
 
     video = VideoReader(video_path)
+    emitted = 0
     try:
         attack_is_stuck = False
         last_hotbar = 0
@@ -138,6 +146,10 @@ def trajectory_steps(
                 continue
             if is_null_action:
                 continue
+            if emitted < skip_steps:
+                emitted += 1
+                continue
+            emitted += 1
             if step_data.get("isGuiOpen", False):
                 scale = frame.shape[0] / MINEREC_ORIGINAL_HEIGHT_PX
                 cx = int(step_data["mouse"]["x"] * scale)
@@ -294,7 +306,13 @@ def _robust_put(q, item, quit_event) -> bool:
 
 def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolution):
     """Emits fixed-length windows of consecutive (non-null) steps with actions
-    already factored into the joint categorical space."""
+    already factored into the joint categorical space.
+
+    Tasks are ``(trajectory_id, video_path, json_path, skip_chunks)``; a
+    non-zero skip fast-forwards a resumed trajectory to its first unconsumed
+    chunk.  Emitted items carry the global chunk index within the trajectory
+    so the consumer's resume cursor is exact.
+    """
     cursor = default_cursor()
     mapper = CameraHierarchicalMapping(n_camera_bins=11)
     transformer = ActionTransformer(**ACTION_TRANSFORMER_KWARGS)
@@ -302,12 +320,17 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
         task = tasks_queue.get()
         if task is None:
             break
-        trajectory_id, video_path, json_path = task
+        trajectory_id, video_path, json_path, skip_chunks = task
         frames, buttons, cameras = [], [], []
-        first_of_chunk = True
+        chunk_index = skip_chunks
         try:
             for frame, action in trajectory_steps(
-                video_path, json_path, resolution=resolution, cursor=cursor, quit_event=quit_event
+                video_path,
+                json_path,
+                resolution=resolution,
+                cursor=cursor,
+                quit_event=quit_event,
+                skip_steps=skip_chunks * chunk_len,
             ):
                 factored = transformer.env2policy({k: np.asarray(v)[None] if k == "camera" else np.asarray([v]) for k, v in action.items()})
                 joint = mapper.from_factored(factored)
@@ -320,13 +343,14 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
                         np.stack(frames),
                         np.asarray(buttons, np.int32),
                         np.asarray(cameras, np.int32),
-                        first_of_chunk,
+                        chunk_index == 0,
                         chunk_len,
+                        chunk_index,
                     )
                     if not _robust_put(output_queue, item, quit_event):
                         return
                     frames, buttons, cameras = [], [], []
-                    first_of_chunk = False
+                    chunk_index += 1
         except Exception as e:
             print(f"Error in trajectory {video_path}: {e!r}")
         # trailing partial chunk, zero-padded with a validity count
@@ -343,8 +367,9 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
                     np.stack(frames),
                     np.asarray(buttons, np.int32),
                     np.asarray(cameras, np.int32),
-                    first_of_chunk,
+                    chunk_index == 0,
                     n,
+                    chunk_index,
                 ),
                 quit_event,
             )
@@ -379,7 +404,12 @@ class SequenceDataLoader:
         resolution: Tuple[int, int] = AGENT_RESOLUTION,
         seed: Optional[int] = None,
         start_trajectory: int = 0,
+        resume_state: Optional[Dict] = None,
     ):
+        """``resume_state`` is a dict previously returned by :meth:`state`;
+        when given, each stream fast-forwards to exactly its first unconsumed
+        chunk — no frames skipped, none repeated.  ``start_trajectory`` is the
+        coarser legacy cursor (whole-trajectory granularity)."""
         demonstration_tuples = _discover(dataset_dir)
         assert batch_size <= len(demonstration_tuples), (
             f"batch_size should be <= number of demonstrations {len(demonstration_tuples)}"
@@ -394,12 +424,30 @@ class SequenceDataLoader:
         self.batch_size = batch_size
         self.n_trajectories_dispatched = start_trajectory
 
-        # per-stream task queues, round-robin (see DataLoader for rationale)
+        # Stream i owns trajectory list positions ≡ i (mod B) — the fixed
+        # round-robin makes per-stream resume cursors well-defined.
+        streams = None
+        if resume_state and resume_state.get("streams"):
+            streams = resume_state["streams"]
+            assert len(streams) == batch_size, (
+                f"resume_state has {len(streams)} streams but batch_size={batch_size}"
+            )
         self.task_queues = [Queue() for _ in range(batch_size)]
-        for idx, (trajectory_id, task) in enumerate(
-            enumerate(self.demonstration_tuples[start_trajectory:], start=start_trajectory)
-        ):
-            self.task_queues[idx % batch_size].put((trajectory_id, *task))
+        n_total = len(self.demonstration_tuples)
+        for i in range(batch_size):
+            first_pos, skip_chunks = i, 0
+            if streams is not None:
+                traj, chunks = int(streams[i][0]), int(streams[i][1])
+                if traj >= 0:
+                    first_pos, skip_chunks = traj, chunks
+            elif start_trajectory:
+                # legacy coarse cursor: first owned position ≥ start_trajectory
+                first_pos = i + ((max(start_trajectory - i, 0) + batch_size - 1) // batch_size) * batch_size
+            for pos in range(first_pos, n_total, batch_size):
+                self.task_queues[i].put(
+                    (pos, *self.demonstration_tuples[pos], skip_chunks if pos == first_pos else 0)
+                )
+                self.n_trajectories_dispatched = max(self.n_trajectories_dispatched, pos + 1)
         for q in self.task_queues:
             q.put(None)
 
@@ -417,10 +465,20 @@ class SequenceDataLoader:
             p.start()
         self._last_episode = [None] * batch_size
         self._done = [False] * batch_size
+        # per-stream consumed cursor: (trajectory position, chunks consumed)
+        self._stream_cursor = [
+            (int(s[0]), int(s[1])) if streams is not None and int(s[0]) >= 0 else (-1, 0)
+            for s in (streams or [(-1, 0)] * batch_size)
+        ]
 
     def state(self) -> Dict:
-        """Approximate resume cursor for checkpointing."""
-        return {"n_trajectories_dispatched": self.n_trajectories_dispatched}
+        """Exact resume cursor: per-stream (trajectory position, chunks
+        consumed), plus the coarse dispatched count for observability.
+        Feed back via ``resume_state=`` to continue with no skip/repeat."""
+        return {
+            "n_trajectories_dispatched": self.n_trajectories_dispatched,
+            "streams": [list(c) for c in self._stream_cursor],
+        }
 
     def __iter__(self):
         return self
@@ -443,12 +501,13 @@ class SequenceDataLoader:
             if item is None:
                 self._done[i] = True
                 raise StopIteration()
-            trajectory_id, frames, buttons, cameras, first_of_chunk, n_valid = item
+            trajectory_id, frames, buttons, cameras, first_of_chunk, n_valid, chunk_index = item
             if trajectory_id != self._last_episode[i]:
                 self._last_episode[i] = trajectory_id
                 self.n_trajectories_dispatched = max(
                     self.n_trajectories_dispatched, trajectory_id + 1
                 )
+            self._stream_cursor[i] = (trajectory_id, chunk_index + 1)
             T = self.chunk_len
             firsts = np.zeros(T, bool)
             firsts[0] = first_of_chunk

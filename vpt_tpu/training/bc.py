@@ -222,6 +222,7 @@ class BCTrainer:
         self.init()
         metrics = metrics or MetricsLogger()
         start_traj = 0
+        resume_state = None
         if resume_dir:
             # the template preserves the optax namedtuple pytree structure —
             # a bare orbax restore returns nested dicts/lists that the jitted
@@ -242,6 +243,11 @@ class BCTrainer:
                 if data_state:
                     start_traj = int(data_state.get("n_trajectories_dispatched", 0))
                     self.step_count = int(data_state.get("step_count", 0))
+                    # exact per-stream cursor (trajectory, chunks consumed);
+                    # falls back to the coarse whole-trajectory cursor for
+                    # checkpoints written before it existed
+                    if data_state.get("streams"):
+                        resume_state = {"streams": data_state["streams"]}
 
         loader = SequenceDataLoader(
             data_dir,
@@ -250,6 +256,7 @@ class BCTrainer:
             n_epochs=hp.epochs,
             seed=self._seed,
             start_trajectory=start_traj,
+            resume_state=resume_state,
         )
 
         # Preemption safety: SIGTERM/SIGINT triggers a final checkpoint before
