@@ -262,3 +262,42 @@ def test_json_action_parser_matches_reference():
                 np.testing.assert_array_equal(ours[k], theirs[k], err_msg=str((case, step)))
             else:
                 assert ours[k] == theirs[k], (case, k, step)
+
+
+def test_cursor_compositing_matches_reference():
+    """Given the published cursor asset, our cursor load + alpha compositing
+    (python and native paths) reproduces the reference pipeline's pixels
+    (data_loader.py:34-56) bit-for-bit — including edge clipping."""
+    import os
+
+    png = os.path.join(REFERENCE, "cursors", "mouse_cursor_white_16x16.png")
+    if not os.path.exists(png):
+        pytest.skip("published cursor asset unavailable")
+    _install_reference()
+    import data_loader as ref_dl
+
+    from vpt_tpu.data.cursor import composite_images_with_alpha, load_cursor_png
+    from vpt_tpu.data.video import native_available, native_composite_alpha
+
+    cv2 = pytest.importorskip("cv2")
+    # reference loads BGR(A) via cv2; ours is RGB via PIL — compare in RGB
+    ref_img = cv2.imread(png, cv2.IMREAD_UNCHANGED)[:16, :16, :]
+    ref_alpha = ref_img[:, :, 3:] / 255.0
+    ref_rgb = ref_img[:, :, :3][:, :, ::-1]  # BGR → RGB
+
+    rgb, alpha = load_cursor_png(png)
+    np.testing.assert_array_equal(rgb, ref_rgb)
+    np.testing.assert_array_equal(alpha[..., None] / 255.0, ref_alpha)
+
+    rng = np.random.default_rng(0)
+    for x, y in [(30, 20), (0, 0), (120 - 8, 60), (125, 68), (119, 71)]:
+        frame = rng.integers(0, 256, (72, 128, 3), dtype=np.uint8)
+        want = frame.copy()
+        ref_dl.composite_images_with_alpha(want, ref_rgb, ref_alpha, x, y)
+        got = frame.copy()
+        composite_images_with_alpha(got, rgb, alpha[..., None] / 255.0, x, y)
+        np.testing.assert_array_equal(got, want, err_msg=f"python path ({x},{y})")
+        if native_available():
+            got_n = frame.copy()
+            native_composite_alpha(got_n, rgb, alpha, x, y)
+            np.testing.assert_array_equal(got_n, want, err_msg=f"native path ({x},{y})")

@@ -61,12 +61,28 @@ def load_cursor_png(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return img[:, :, :3].copy(), img[:, :, 3].copy()
 
 
+def _search_paths():
+    """Cursor PNG locations, most-specific first.  Mirrors the reference's
+    module-relative default (data_loader.py:19: ``cursors/mouse_cursor_white_
+    16x16.png`` next to the code) so dropping the published asset into a
+    ``cursors/`` directory at the repo root — or next to the dataset — just
+    works; ``CURSOR_FILE`` overrides everything."""
+    env = os.environ.get("CURSOR_FILE")
+    rel = os.path.join("cursors", "mouse_cursor_white_16x16.png")
+    repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+    candidates = [env] if env else []
+    candidates += [os.path.join(repo_root, rel), os.path.join(os.getcwd(), rel)]
+    return candidates
+
+
 def default_cursor(cursor_path: Optional[str] = None) -> Tuple[np.ndarray, np.ndarray]:
-    """(rgb (16,16,3), alpha (16,16)) — from ``cursor_path``, the CURSOR_FILE
-    env var, or the procedural fallback."""
-    path = cursor_path or os.environ.get("CURSOR_FILE")
-    if path and os.path.exists(path):
-        return load_cursor_png(path)
+    """(rgb (16,16,3), alpha (16,16)) — from ``cursor_path``, ``CURSOR_FILE``,
+    a ``cursors/`` directory at the repo root or CWD, or the procedural
+    fallback (visually equivalent arrow; point at the published PNG for
+    pixel parity with the reference pipeline)."""
+    for path in ([cursor_path] if cursor_path else []) + _search_paths():
+        if path and os.path.exists(path):
+            return load_cursor_png(path)
     return _procedural_cursor()
 
 

@@ -33,8 +33,11 @@ def maybe_initialize_distributed() -> bool:
     global mesh whose dp axis crosses DCN while tp stays within a slice."""
     import os
 
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # NB: the already-initialized probe must not touch the XLA backend —
+    # jax.process_count() would initialize it and make a subsequent
+    # jax.distributed.initialize() unconditionally fail
+    if jax.distributed.is_initialized():
+        return True
     coord = os.environ.get("COORDINATOR_ADDRESS")
     nproc = os.environ.get("NUM_PROCESSES")
     pid = os.environ.get("PROCESS_ID")
