@@ -297,6 +297,36 @@ class MineRLAgent:
             pass
         return (packed, as_list)
 
+    def initial_group_state(self):
+        """Fresh recurrent state for one batch_size-wide stream group —
+        pair with ``dispatch_action(..., state=...)`` to drive several
+        independent groups through one agent (GroupedRolloutRunner)."""
+        return policy_initial_state(self.cfg, self.batch_size, ring=self.ring_cache)
+
+    def dispatch_action_with_state(self, minerl_obs, state, first=None, stochastic: bool = True):
+        """Explicit-state dispatch: like dispatch_action but the recurrent
+        state is the caller's, not ``self.hidden_state``.  Returns
+        (handle, new_state).  Lets one agent (one compiled step) serve many
+        round-robin stream groups whose D2H transfers overlap."""
+        assert self.decode_on_device, "dispatch/collect requires decode_on_device=True"
+        self._ensure_variables()
+        img = self._env_obs_to_agent(minerl_obs)
+        b = img.shape[0]
+        assert b == self.batch_size, f"got {b} obs for batch_size {self.batch_size}"
+        if first is None:
+            first = np.zeros((b, 1), bool)
+        else:
+            first = np.asarray(first, bool).reshape(b, 1)
+        packed, new_state, self._rng = self._step(
+            self.variables, jnp.asarray(img), jnp.asarray(first), state,
+            self._rng, stochastic,
+        )
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        return (packed, isinstance(minerl_obs, list)), new_state
+
     def collect_action(self, handle):
         """Sync half: wait for a dispatch_action handle and decode to env
         actions (a list iff the dispatched obs was a list — same convention

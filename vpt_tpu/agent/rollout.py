@@ -20,20 +20,41 @@ import numpy as np
 
 class MockMinecraftEnv:
     """Synthetic stand-in for the MineRL env: 640×360 frames, accepts the
-    standard action dict, episodes end with probability ``done_prob``."""
+    standard action dict, episodes end with probability ``done_prob``.
 
-    def __init__(self, seed: int = 0, done_prob: float = 0.0):
+    Frames cycle through a small pre-generated pool: generating 0.7 MB of
+    fresh noise per step costs ~2.5 ms on this one-core host (~160 ms/step
+    at 64 streams), which would swamp a serving benchmark with env cost the
+    framework doesn't own.  ``fresh_frames=True`` restores per-step noise.
+    """
+
+    _POOL = None
+    _POOL_SIZE = 24
+
+    def __init__(self, seed: int = 0, done_prob: float = 0.0, fresh_frames: bool = False):
         self._rng = np.random.default_rng(seed)
         self._done_prob = done_prob
-        self._t = 0
+        self._fresh = fresh_frames
+        self._t = seed  # desynchronize pool phase across streams
+        if not fresh_frames and MockMinecraftEnv._POOL is None:
+            pool_rng = np.random.default_rng(12345)
+            MockMinecraftEnv._POOL = [
+                pool_rng.integers(0, 255, (360, 640, 3), dtype=np.uint8)
+                for _ in range(self._POOL_SIZE)
+            ]
+
+    def _frame(self):
+        if self._fresh:
+            return self._rng.integers(0, 255, (360, 640, 3), dtype=np.uint8)
+        return MockMinecraftEnv._POOL[self._t % self._POOL_SIZE]
 
     def reset(self):
-        self._t = 0
-        return {"pov": self._rng.integers(0, 255, (360, 640, 3), dtype=np.uint8)}
+        self._t += 1
+        return {"pov": self._frame()}
 
     def step(self, action):
         self._t += 1
-        obs = {"pov": self._rng.integers(0, 255, (360, 640, 3), dtype=np.uint8)}
+        obs = {"pov": self._frame()}
         done = bool(self._rng.random() < self._done_prob)
         return obs, 0.0, done, {}
 
@@ -127,3 +148,68 @@ class BatchedRolloutRunner:
             "seconds": dt,
             "frames_per_sec": total / dt,
         }
+
+
+class GroupedRolloutRunner:
+    """One agent, G round-robin stream groups with explicit recurrent state.
+
+    The serving latency chain per group is resize→H2D→device step→D2H(RTT);
+    on a remote-attached chip the D2H round trip dominates.  Independent
+    groups break the chain: while group g's actions transfer back (the agent
+    starts the copy asynchronously at dispatch), the host collects, steps and
+    re-dispatches the other groups — so G-1 transfers are always in flight
+    behind host work.  One agent (batch_size = streams/G) means one compiled
+    step and one shared variables tree.
+
+    Semantics equal running each group with its own BatchedRolloutRunner.
+    """
+
+    def __init__(self, agent, envs: List, n_groups: int = 4):
+        assert len(envs) % n_groups == 0, (len(envs), n_groups)
+        gb = len(envs) // n_groups
+        assert agent.batch_size == gb, (
+            f"agent.batch_size must equal streams/groups = {gb}, got {agent.batch_size}"
+        )
+        self.agent = agent
+        self.groups = []
+        for g in range(n_groups):
+            genvs = envs[g * gb : (g + 1) * gb]
+            self.groups.append(
+                {
+                    "envs": genvs,
+                    "obs": [e.reset() for e in genvs],
+                    "firsts": np.ones(gb, bool),
+                    "state": agent.initial_group_state(),
+                    "handle": None,
+                }
+            )
+
+    def _advance(self, g, actions):
+        for i, (env, action) in enumerate(zip(g["envs"], actions)):
+            obs, reward, done, info = env.step(action)
+            if done:
+                obs = env.reset()
+                g["firsts"][i] = True
+            else:
+                g["firsts"][i] = False
+            g["obs"][i] = obs
+
+    def run(self, n_steps: int) -> dict:
+        agent = self.agent
+        t0 = time.perf_counter()
+        total = 0
+        for g in self.groups:
+            g["handle"], g["state"] = agent.dispatch_action_with_state(
+                g["obs"], g["state"], first=g["firsts"]
+            )
+        for _ in range(n_steps):
+            for g in self.groups:
+                self._advance(g, agent.collect_action(g["handle"]))
+                total += len(g["envs"])
+                g["handle"], g["state"] = agent.dispatch_action_with_state(
+                    g["obs"], g["state"], first=g["firsts"]
+                )
+        for g in self.groups:
+            agent.collect_action(g["handle"])
+        dt = time.perf_counter() - t0
+        return {"frames": total, "seconds": dt, "frames_per_sec": total / dt}
