@@ -13,32 +13,46 @@ from vpt_tpu.agent import MineRLAgent
 from vpt_tpu.checkpoint import load_model_parameters
 
 
-def main(model, weights, mock_env=False, steps=100, streams=1, show=True):
+def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=True):
     policy_kwargs, pi_head_kwargs = load_model_parameters(model)
 
     if mock_env:
-        from vpt_tpu.agent.rollout import BatchedRolloutRunner, MockMinecraftEnv
+        from vpt_tpu.agent.rollout import (
+            BatchedRolloutRunner,
+            GroupedRolloutRunner,
+            MockMinecraftEnv,
+        )
 
-        print(f"---Loading model (mock env, {streams} stream{'s' if streams > 1 else ''})---")
+        # pipelined serving by default: round-robin groups hide the device
+        # round trip behind host work (0 = auto: 4 groups when they divide
+        # the streams, else single-group)
+        if groups == 0:
+            groups = 4 if streams % 4 == 0 and streams >= 8 else 1
+        print(f"---Loading model (mock env, {streams} stream{'s' if streams > 1 else ''}, {groups} group{'s' if groups > 1 else ''})---")
         agent = MineRLAgent(
             policy_kwargs=policy_kwargs,
             pi_head_kwargs=pi_head_kwargs,
-            batch_size=streams,
+            batch_size=streams // groups,
             compute_dtype="bfloat16" if streams > 1 else "float32",
         )
         agent.load_weights(weights)
         print("---Running mock rollout---")
-        runner = BatchedRolloutRunner(agent, [MockMinecraftEnv(seed=i) for i in range(streams)])
-        shown = {"n": 0}
+        envs = [MockMinecraftEnv(seed=i) for i in range(streams)]
+        if groups > 1:
+            runner = GroupedRolloutRunner(agent, envs, n_groups=groups)
+            stats = runner.run(steps)
+        else:
+            runner = BatchedRolloutRunner(agent, envs)
+            shown = {"n": 0}
 
-        def preview(actions):
-            if show and shown["n"] < 3:
-                a = actions[0]
-                pressed = [k for k, v in a.items() if k != "camera" and v == 1]
-                print(f"step {shown['n']}: pressed={pressed} camera={np.round(a['camera'], 2)}")
-                shown["n"] += 1
+            def preview(actions):
+                if show and shown["n"] < 3:
+                    a = actions[0] if isinstance(actions, list) else actions
+                    pressed = [k for k, v in a.items() if k != "camera" and v == 1]
+                    print(f"step {shown['n']}: pressed={pressed} camera={np.round(a['camera'], 2)}")
+                    shown["n"] += 1
 
-        stats = runner.run(steps, on_step=preview)
+            stats = runner.run(steps, on_step=preview)
         print(
             f"{stats['frames']} env frames in {stats['seconds']:.2f}s → "
             f"{stats['frames_per_sec']:.1f} frames/sec end-to-end"
@@ -71,6 +85,9 @@ if __name__ == "__main__":
     parser.add_argument("--mock-env", action="store_true", help="Run on synthetic frames (no MineRL needed).")
     parser.add_argument("--steps", type=int, default=100, help="Mock-env step count.")
     parser.add_argument("--streams", type=int, default=1, help="Parallel env streams (batched rollout runtime).")
+    parser.add_argument("--groups", type=int, default=0,
+                        help="Pipelined stream groups (0 = auto; 1 disables pipelining).")
 
     args = parser.parse_args()
-    main(args.model, args.weights, mock_env=args.mock_env, steps=args.steps, streams=args.streams)
+    main(args.model, args.weights, mock_env=args.mock_env, steps=args.steps,
+         streams=args.streams, groups=args.groups)

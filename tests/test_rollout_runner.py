@@ -44,3 +44,34 @@ def test_batched_rollout_runner():
     # done episodes triggered resets (first flags used) with done_prob 0.3
     # over 24 transitions it is overwhelmingly likely at least one reset fired
     assert runner.episode_steps.max() <= 8
+
+
+def test_grouped_rollout_runner():
+    from vpt_tpu.agent.rollout import GroupedRolloutRunner
+
+    agent = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs={"temperature": 2.0},
+                        batch_size=2)
+    envs = [MockMinecraftEnv(seed=i, done_prob=0.2) for i in range(6)]
+    runner = GroupedRolloutRunner(agent, envs, n_groups=3)
+    stats = runner.run(5)
+    assert stats["frames"] == 30  # 6 envs x 5 steps
+    assert stats["frames_per_sec"] > 0
+
+
+def test_grouped_runner_state_isolation():
+    """Each group's recurrent state is independent: resetting one group's
+    episodes must not change another group's next action distribution
+    (checked structurally: groups carry distinct state pytrees)."""
+    from vpt_tpu.agent.rollout import GroupedRolloutRunner
+
+    agent = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs={"temperature": 2.0},
+                        batch_size=2)
+    envs = [MockMinecraftEnv(seed=i) for i in range(4)]
+    runner = GroupedRolloutRunner(agent, envs, n_groups=2)
+    runner.run(2)
+    s0, s1 = runner.groups[0]["state"], runner.groups[1]["state"]
+    assert s0 is not s1
+    leaves0 = [np.asarray(x) for x in __import__("jax").tree_util.tree_leaves(s0)]
+    leaves1 = [np.asarray(x) for x in __import__("jax").tree_util.tree_leaves(s1)]
+    # different frames went through the two groups -> states must differ
+    assert any(not np.array_equal(a, b) for a, b in zip(leaves0, leaves1))
