@@ -1,0 +1,79 @@
+"""RL fine-tuning of a VPT policy: KL-anchored PPO (training/rl.py).
+
+The reference release ships RL-fine-tuned checkpoints (README.md:63-79) but
+no RL code; this CLI supplies the loop.  It mirrors behavioural_cloning.py's
+flag contract (--in-model/--in-weights/--out-weights) and drives batched env
+streams.  On hosts without the Java MineRL env, ``--mock-env`` runs the full
+pipeline on synthetic frames with a demo reward (+1 per attack press) so the
+loop is exercisable anywhere.
+
+Example:
+    python rl_fine_tune.py --in-model foundation-model-1x.model \
+        --in-weights foundation-model-1x.weights \
+        --out-weights rl-tuned.weights --mock-env --streams 8 --updates 50
+"""
+
+from argparse import ArgumentParser
+
+from vpt_tpu.training.rl import PPOHyperparams, PPOTrainer
+from vpt_tpu.utils.metrics import MetricsLogger
+
+
+def demo_attack_reward(env_action, obs, reward, done):
+    """Synthetic reward for --mock-env: +1 whenever attack is pressed."""
+    return float(env_action["attack"])
+
+
+def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
+         updates=50, rollout_len=40, learning_rate=3e-5, kl_coef=0.2,
+         compute_dtype="bfloat16", metrics_path=None):
+    hp = PPOHyperparams(
+        rollout_len=rollout_len,
+        learning_rate=learning_rate,
+        kl_coef=kl_coef,
+        n_minibatches=2 if streams % 2 == 0 else 1,
+    )
+    trainer = PPOTrainer.from_files(
+        in_model, in_weights, hp=hp, compute_dtype=compute_dtype
+    )
+
+    if mock_env:
+        from vpt_tpu.agent.rollout import MockMinecraftEnv
+
+        envs = [MockMinecraftEnv(seed=i) for i in range(streams)]
+        reward_fn = demo_attack_reward
+    else:
+        import gym  # the Java MineRL env; only on hosts that have it
+
+        envs = [gym.make("MineRLBasaltFindCave-v0") for _ in range(streams)]
+        reward_fn = None  # the env's own reward
+
+    print(f"---Running PPO: {streams} streams × {rollout_len} steps/update, "
+          f"{updates} updates, KL anchor ρ₀={kl_coef}---")
+    report = trainer.train(
+        envs, updates, out_weights=out_weights, reward_fn=reward_fn,
+        metrics=MetricsLogger(path=metrics_path),
+    )
+    print(f"Done: {report}")
+
+
+if __name__ == "__main__":
+    parser = ArgumentParser("KL-anchored PPO fine-tuning of a VPT policy.")
+    parser.add_argument("--in-model", required=True, type=str, help="Path to the .model file of the policy to fine-tune.")
+    parser.add_argument("--in-weights", required=True, type=str, help="Path to the .weights file (also the frozen KL anchor).")
+    parser.add_argument("--out-weights", required=True, type=str, help="Path where finetuned weights will be saved.")
+    parser.add_argument("--mock-env", action="store_true", help="Use synthetic envs with the demo attack reward (no Java).")
+    parser.add_argument("--streams", type=int, default=8, help="Parallel env streams.")
+    parser.add_argument("--updates", type=int, default=50, help="collect+update cycles.")
+    parser.add_argument("--rollout-len", type=int, default=40, help="Steps collected per stream per update.")
+    parser.add_argument("--learning-rate", type=float, default=3e-5)
+    parser.add_argument("--kl-coef", type=float, default=0.2, help="Initial weight of KL(foundation ‖ policy).")
+    parser.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    parser.add_argument("--metrics-path", type=str, default=None, help="Append JSONL metrics here.")
+    args = parser.parse_args()
+    main(
+        args.in_model, args.in_weights, args.out_weights, mock_env=args.mock_env,
+        streams=args.streams, updates=args.updates, rollout_len=args.rollout_len,
+        learning_rate=args.learning_rate, kl_coef=args.kl_coef,
+        compute_dtype=args.compute_dtype, metrics_path=args.metrics_path,
+    )

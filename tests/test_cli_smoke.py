@@ -6,7 +6,8 @@ import sys
 
 import pytest
 
-CLIS = ["run_agent.py", "run_inverse_dynamics_model.py", "behavioural_cloning.py"]
+CLIS = ["run_agent.py", "run_inverse_dynamics_model.py", "behavioural_cloning.py",
+        "rl_fine_tune.py"]
 
 
 @pytest.mark.parametrize("cli", CLIS)

@@ -1,0 +1,219 @@
+"""PPO RL fine-tuning tests (training/rl.py): GAE oracle, rollout collection,
+learning on a synthetic reward, and the KL anchor to the frozen foundation
+policy.  Runs on the virtual CPU mesh (single-device unless noted)."""
+
+import jax
+import numpy as np
+import pytest
+
+from vpt_tpu.parallel.mesh import make_mesh
+from vpt_tpu.training.rl import PPOHyperparams, PPOTrainer, compute_gae
+
+TINY_KWARGS = dict(
+    hidsize=64,
+    impala_width=1,
+    impala_chans=[4, 8],
+    img_shape=[32, 32, 3],
+    init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+    impala_kwargs={"post_pool_groups": 1},
+    n_recurrence_layers=2,
+    timesteps=16,
+    attention_heads=4,
+    attention_memory_size=32,
+    recurrence_type="transformer",
+    attention_mask_style="clipped_causal",
+    use_pre_lstm_ln=False,
+    obs_processing_width=32,
+)
+
+
+# ---------------------------------------------------------------------- GAE
+
+
+def _gae_loop_oracle(rewards, values, firsts, last_value, last_first, gamma, lam):
+    """Straightforward per-episode loop implementation of GAE."""
+    b, t_len = rewards.shape
+    adv = np.zeros((b, t_len), np.float64)
+    for i in range(b):
+        next_adv = 0.0
+        for t in reversed(range(t_len)):
+            if t == t_len - 1:
+                nonterm = 0.0 if last_first[i] else 1.0
+                next_v = last_value[i]
+            else:
+                nonterm = 0.0 if firsts[i, t + 1] else 1.0
+                next_v = values[i, t + 1]
+            delta = rewards[i, t] + gamma * next_v * nonterm - values[i, t]
+            next_adv = delta + gamma * lam * nonterm * next_adv
+            adv[i, t] = next_adv
+    return adv, adv + values
+
+
+def test_gae_matches_loop_oracle():
+    rng = np.random.default_rng(0)
+    b, t_len = 3, 17
+    rewards = rng.normal(size=(b, t_len)).astype(np.float32)
+    values = rng.normal(size=(b, t_len)).astype(np.float32)
+    firsts = rng.random((b, t_len)) < 0.2
+    firsts[:, 0] = True
+    last_value = rng.normal(size=b).astype(np.float32)
+    last_first = np.array([True, False, False])
+    gamma, lam = 0.99, 0.95
+
+    adv, ret = compute_gae(rewards, values, firsts, last_value, last_first, gamma, lam)
+    adv_o, ret_o = _gae_loop_oracle(rewards, values, firsts, last_value, last_first, gamma, lam)
+    np.testing.assert_allclose(np.asarray(adv), adv_o, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret), ret_o, rtol=1e-5, atol=1e-5)
+
+
+def test_gae_zero_when_values_consistent():
+    # if V is exact for a constant-reward infinite stream, advantages vanish
+    gamma, lam = 0.9, 0.8
+    t_len = 8
+    v = 1.0 / (1.0 - gamma)  # value of +1 forever
+    rewards = np.ones((1, t_len), np.float32)
+    values = np.full((1, t_len), v, np.float32)
+    firsts = np.zeros((1, t_len), bool)
+    adv, _ = compute_gae(rewards, values, np.asarray(firsts),
+                         np.full(1, v, np.float32), np.zeros(1, bool), gamma, lam)
+    np.testing.assert_allclose(np.asarray(adv), 0.0, atol=1e-5)
+
+
+# ----------------------------------------------------------------- trainer
+
+
+def _make_trainer(b=4, rollout_len=8, n_minibatches=2, **hp_kw):
+    hp = PPOHyperparams(rollout_len=rollout_len, n_minibatches=n_minibatches,
+                        n_epochs=2, **hp_kw)
+    mesh = make_mesh(n_dp=1, devices=jax.devices()[:1])
+    trainer = PPOTrainer(TINY_KWARGS, {"temperature": 2.0}, hp=hp, mesh=mesh, seed=0)
+    trainer.init()
+    return trainer
+
+
+def _envs(n, done_prob=0.0):
+    from vpt_tpu.agent.rollout import MockMinecraftEnv
+
+    return [MockMinecraftEnv(seed=i, done_prob=done_prob) for i in range(n)]
+
+
+def test_collect_shapes_and_resets():
+    trainer = _make_trainer(b=2, rollout_len=6)
+    envs = _envs(2, done_prob=0.35)
+    traj, obs, firsts = trainer.collect(envs, reward_fn=lambda a, o, r, d: 1.0)
+    assert traj["frames"].shape == (2, 6, 32, 32, 3)
+    for key in ("buttons", "camera", "logp_old", "values", "rewards", "firsts"):
+        assert traj[key].shape == (2, 6), key
+    assert traj["last_value"].shape == (2,)
+    assert np.all(traj["rewards"] == 1.0)
+    assert np.all(traj["firsts"][:, 0])  # fresh envs start an episode
+    assert np.isfinite(traj["logp_old"]).all() and np.isfinite(traj["values"]).all()
+    # done_prob=0.35 over 2x6 steps: some reset must have occurred
+    assert traj["firsts"][:, 1:].any() or np.asarray(firsts).any()
+    # threading obs/firsts continues the stream without reinitialization
+    traj2, _, _ = trainer.collect(envs, obs, firsts)
+    assert not traj2["firsts"][:, 0].all() or np.asarray(firsts).all()
+
+
+def test_update_metrics_and_finiteness():
+    trainer = _make_trainer(b=4, rollout_len=8)
+    envs = _envs(4)
+    rng = np.random.default_rng(1)
+    traj, _, _ = trainer.collect(
+        envs, reward_fn=lambda a, o, r, d: float(rng.normal())
+    )
+    metrics = trainer.update(traj)
+    for key in ("loss", "pg_loss", "v_loss", "entropy", "anchor_kl",
+                "approx_kl", "clip_frac", "grad_norm"):
+        assert np.isfinite(metrics[key]), (key, metrics)
+    assert 0.0 <= metrics["clip_frac"] <= 1.0
+    assert metrics["anchor_kl"] >= -1e-6
+    assert metrics["kl_coef"] < trainer.hp.kl_coef  # decayed once
+    # EWMA return stats folded: debiasing term moved off zero
+    stats = jax.tree.map(np.asarray, trainer.variables["stats"])["value_head"]
+    assert stats["debiasing_term"] > 0.0
+
+
+def _attack_prob(trainer, frames):
+    """Mean probability that the sampled joint button combo presses attack."""
+    import jax.numpy as jnp
+
+    from vpt_tpu.models.policy import policy_initial_state
+
+    state = policy_initial_state(trainer.cfg, frames.shape[0])
+    out, _ = jax.jit(trainer.policy.apply)(
+        trainer.variables, jnp.asarray(frames),
+        jnp.ones(frames.shape[:2], bool), state,
+    )
+    probs = np.exp(np.asarray(out["pi_logits"]["buttons"], np.float64))
+    mapper = trainer.action_mapper
+    n = probs.shape[-1]
+    factored = mapper.to_factored(
+        {"buttons": np.arange(n)[:, None], "camera": np.full((n, 1), 60)}
+    )
+    from vpt_tpu.actions.buttons import Buttons
+
+    attack = factored["buttons"][:, Buttons.ALL.index("attack")].astype(bool)
+    return float(probs[..., attack].sum(-1).mean())
+
+
+def test_ppo_learns_synthetic_reward():
+    """Reward +1 whenever the decoded env action presses 'attack': the policy
+    must shift probability mass toward attack combos.  γ=0 makes it a bandit
+    so the advantage signal is exactly the per-action reward (the general
+    GAE path is covered by the loop-oracle tests above)."""
+    hp = PPOHyperparams(rollout_len=16, n_minibatches=1, n_epochs=3,
+                        learning_rate=6e-3, kl_coef=0.0, gamma=0.0, lam=0.0)
+    mesh = make_mesh(n_dp=1, devices=jax.devices()[:1])
+    trainer = PPOTrainer(TINY_KWARGS, {"temperature": 2.0}, hp=hp, mesh=mesh, seed=0)
+    trainer.init()
+    envs = _envs(4)
+    rng = np.random.default_rng(0)
+    probe = rng.integers(0, 255, (2, 4, 32, 32, 3), dtype=np.uint8)
+    p_before = _attack_prob(trainer, probe)
+
+    def reward(env_action, obs, r, done):
+        return float(env_action["attack"])
+
+    obs = firsts = None
+    for _ in range(10):
+        traj, obs, firsts = trainer.collect(envs, obs, firsts, reward_fn=reward)
+        trainer.update(traj)
+    p_after = _attack_prob(trainer, probe)
+    # a no-signal run moves p by ~1e-3; demand an order of magnitude more
+    assert p_after > p_before + 0.02, (p_before, p_after)
+
+
+def test_kl_anchor_restrains_drift():
+    """With a large KL coefficient the policy stays glued to the anchor even
+    under the same reward pressure that moves the unanchored policy."""
+    def run(kl_coef):
+        trainer = _make_trainer(b=4, rollout_len=8, n_minibatches=1,
+                                learning_rate=3e-4, kl_coef=kl_coef, kl_decay=1.0)
+        envs = _envs(4)
+        obs = firsts = None
+        last = {}
+        for _ in range(3):
+            traj, obs, firsts = trainer.collect(
+                envs, obs, firsts,
+                reward_fn=lambda a, o, r, d: float(a["attack"]),
+            )
+            last = trainer.update(traj)
+        return last["anchor_kl"]
+
+    drift_free = run(kl_coef=0.0)
+    drift_anchored = run(kl_coef=50.0)
+    assert drift_anchored < drift_free, (drift_anchored, drift_free)
+
+
+def test_ppo_dp_mesh_smoke():
+    """One collect+update cycle with streams sharded over all 8 devices."""
+    assert len(jax.devices()) == 8
+    hp = PPOHyperparams(rollout_len=4, n_minibatches=1, n_epochs=1)
+    trainer = PPOTrainer(TINY_KWARGS, {"temperature": 2.0}, hp=hp,
+                         mesh=make_mesh(n_dp=8), seed=0)
+    trainer.init()
+    envs = _envs(8)
+    traj, _, _ = trainer.collect(envs, reward_fn=lambda a, o, r, d: 1.0)
+    metrics = trainer.update(traj)
+    assert np.isfinite(metrics["loss"])

@@ -257,6 +257,59 @@ def dict_kl(logits_q, logits_p, specs: Tuple[HeadSpec, ...]) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # Value head with EWMA return normalization
 # ---------------------------------------------------------------------------
+#
+# The normalizer math lives in pure functions over a stats dict
+# {"running_mean", "running_mean_sq", "debiasing_term"} (the exact leaves the
+# checkpoint stores — reference: lib/normalize_ewma.py) so consumers outside
+# the module graph (the PPO value loss in training/rl.py) share one source of
+# truth with ScaledMSEHead.
+
+
+def ewma_mean_var(stats: Dict[str, jnp.ndarray], epsilon: float = 1e-5):
+    """Debiased (mean, var) from raw EWMA accumulators
+    (reference: normalize_ewma.py:25-31, 57-60)."""
+    debias = jnp.clip(stats["debiasing_term"], epsilon, None)
+    mean = stats["running_mean"] / debias
+    mean_sq = stats["running_mean_sq"] / debias
+    var = jnp.clip(mean_sq - mean ** 2, 1e-2, None)
+    return mean, var
+
+
+def ewma_normalize(stats: Dict[str, jnp.ndarray], x, norm_axes: int = 2,
+                   epsilon: float = 1e-5):
+    mean, var = ewma_mean_var(stats, epsilon)
+    shape = (1,) * norm_axes + mean.shape
+    return (x.astype(jnp.float32) - mean.reshape(shape)) / jnp.sqrt(var.reshape(shape))
+
+
+def ewma_denormalize(stats: Dict[str, jnp.ndarray], x, norm_axes: int = 2,
+                     epsilon: float = 1e-5):
+    mean, var = ewma_mean_var(stats, epsilon)
+    shape = (1,) * norm_axes + mean.shape
+    return x.astype(jnp.float32) * jnp.sqrt(var.reshape(shape)) + mean.reshape(shape)
+
+
+def ewma_updated_stats(stats: Dict[str, jnp.ndarray], target, beta: float = 0.99999,
+                       norm_axes: int = 2, per_element_update: bool = False) -> Dict[str, jnp.ndarray]:
+    """Stats dict after folding in a batch of targets — functional counterpart
+    of NormalizeEwma.forward's in-place update (reference:
+    normalize_ewma.py:33-55)."""
+    x = target.astype(jnp.float32)
+    axes = tuple(range(norm_axes))
+    batch_mean = x.mean(axis=axes)
+    batch_sq_mean = (x ** 2).mean(axis=axes)
+    if per_element_update:
+        size = 1
+        for a in axes:
+            size *= x.shape[a]
+        weight = beta ** size
+    else:
+        weight = beta
+    return {
+        "running_mean": stats["running_mean"] * weight + batch_mean * (1.0 - weight),
+        "running_mean_sq": stats["running_mean_sq"] * weight + batch_sq_mean * (1.0 - weight),
+        "debiasing_term": stats["debiasing_term"] * weight + (1.0 - weight),
+    }
 
 
 class ScaledMSEHead(nn.Module):
@@ -295,22 +348,21 @@ class ScaledMSEHead(nn.Module):
     def __call__(self, x):
         return self.linear(x)
 
+    def _stats(self):
+        return {
+            "running_mean": self.running_mean.value,
+            "running_mean_sq": self.running_mean_sq.value,
+            "debiasing_term": self.debiasing_term.value,
+        }
+
     def _mean_var(self):
-        debias = jnp.clip(self.debiasing_term.value, self.epsilon, None)
-        mean = self.running_mean.value / debias
-        mean_sq = self.running_mean_sq.value / debias
-        var = jnp.clip(mean_sq - mean ** 2, 1e-2, None)
-        return mean, var
+        return ewma_mean_var(self._stats(), self.epsilon)
 
     def normalize(self, x):
-        mean, var = self._mean_var()
-        shape = (1,) * self.norm_axes + (self.output_size,)
-        return (x.astype(jnp.float32) - mean.reshape(shape)) / jnp.sqrt(var.reshape(shape))
+        return ewma_normalize(self._stats(), x, self.norm_axes, self.epsilon)
 
     def denormalize(self, x):
-        mean, var = self._mean_var()
-        shape = (1,) * self.norm_axes + (self.output_size,)
-        return x.astype(jnp.float32) * jnp.sqrt(var.reshape(shape)) + mean.reshape(shape)
+        return ewma_denormalize(self._stats(), x, self.norm_axes, self.epsilon)
 
     def loss(self, prediction, target):
         """MSE in normalized space (reference: scaled_mse_head.py:37-43)."""
@@ -320,19 +372,7 @@ class ScaledMSEHead(nn.Module):
         """New (mean, mean_sq, debias) after folding in a batch of targets —
         functional counterpart of NormalizeEwma.forward's in-place update
         (reference: normalize_ewma.py:33-55)."""
-        x = target.astype(jnp.float32)
-        axes = tuple(range(self.norm_axes))
-        batch_mean = x.mean(axis=axes)
-        batch_sq_mean = (x ** 2).mean(axis=axes)
-        if self.per_element_update:
-            size = 1
-            for a in axes:
-                size *= x.shape[a]
-            weight = self.beta ** size
-        else:
-            weight = self.beta
-        return (
-            self.running_mean.value * weight + batch_mean * (1.0 - weight),
-            self.running_mean_sq.value * weight + batch_sq_mean * (1.0 - weight),
-            self.debiasing_term.value * weight + (1.0 - weight),
+        new = ewma_updated_stats(
+            self._stats(), target, self.beta, self.norm_axes, self.per_element_update
         )
+        return new["running_mean"], new["running_mean_sq"], new["debiasing_term"]

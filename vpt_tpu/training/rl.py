@@ -1,0 +1,487 @@
+"""RL fine-tuning: PPO with a KL anchor to the frozen foundation policy.
+
+The VPT paper's third phase fine-tunes the behaviour-cloned policy with
+reinforcement learning, regularized by an auxiliary KL-divergence loss to the
+frozen pretrained policy so exploration does not destroy the prior (the
+published "rl-from-foundation/house/early-game" checkpoints, reference
+README.md:63-79).  The reference release ships those checkpoints but **no RL
+code** — this module supplies the capability TPU-natively:
+
+  * batched rollout collection over N env streams driven by ONE jitted act
+    step (same hot-loop design as the serving runtime, agent/agent.py);
+  * recurrent PPO: the collected window is re-forwarded as a full (B, T)
+    sequence chunk from the hidden-state snapshot taken at collection start
+    (stepwise == chunkwise under the windowed-attention cache is proven by
+    tests/test_kv_cache.py), so the update path is the same big-matmul
+    geometry the MXU wants — no per-step Python in the update;
+  * GAE(γ, λ) as a `lax.scan` over time with episode resets from `first`
+    flags (the same flags that drive the attention-mask resets);
+  * clipped-surrogate policy loss + value loss in EWMA-normalized return
+    space (ScaledMSEHead semantics, reference lib/scaled_mse_head.py:37-43,
+    with the normalizer statistics folded once per collected batch) + KL(π₀‖π_θ)
+    anchor with a decaying coefficient;
+  * the anchor policy's logits are computed ONCE per collected batch (they
+    are constants w.r.t. θ) instead of re-running the frozen net every epoch;
+  * the update step is jitted and data-parallel over the device mesh
+    (minibatches shard streams on ``dp``, parameters replicated, XLA psums
+    the gradients over ICI) — the same distribution scheme as BCTrainer.
+
+Exact RL-phase hyperparameters were not published in the reference release;
+defaults below follow the paper's stated shape (PPO, γ close to 1 for
+long-horizon Minecraft, KL anchor decayed over training) and are all
+configurable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vpt_tpu.actions import ActionTransformer
+from vpt_tpu.actions.mapping import CameraHierarchicalMapping
+from vpt_tpu.checkpoint import load_model_parameters, load_weights, save_weights, state_dict_to_variables
+from vpt_tpu.config import ACTION_TRANSFORMER_KWARGS, PolicyConfig
+from vpt_tpu.models.heads import (
+    dict_entropy,
+    dict_kl,
+    dict_logprob,
+    dict_sample,
+    ewma_normalize,
+    ewma_updated_stats,
+    head_specs_from_space,
+)
+from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
+from vpt_tpu.parallel.mesh import batch_sharded, make_mesh, replicated
+from vpt_tpu.spaces import DictType
+from vpt_tpu.utils.metrics import MetricsLogger
+
+
+@dataclasses.dataclass
+class PPOHyperparams:
+    learning_rate: float = 3e-5
+    weight_decay: float = 0.0
+    max_grad_norm: float = 5.0          # same clip as the BC phase
+    gamma: float = 0.999                # long-horizon discount
+    lam: float = 0.95                   # GAE
+    clip_eps: float = 0.2               # PPO clipped-surrogate epsilon
+    vf_coef: float = 0.5
+    ent_coef: float = 0.0               # the KL anchor already regularizes
+    kl_coef: float = 0.2                # ρ₀: weight of KL(π₀ ‖ π_θ)
+    kl_decay: float = 0.9995            # ρ ← ρ·decay per update
+    n_epochs: int = 3                   # PPO epochs per collected batch
+    n_minibatches: int = 2              # stream-axis splits per epoch
+    rollout_len: int = 40               # T steps collected per update
+    normalize_advantages: bool = True
+
+
+def compute_gae(rewards, values, firsts, last_value, last_first,
+                gamma: float, lam: float):
+    """Generalized advantage estimation over (B, T) with episode boundaries.
+
+    ``firsts[:, t]`` is True when step t begins a new episode (so no reward
+    or value flows backward across t−1 → t).  ``last_value`` bootstraps the
+    step after the window; ``last_first`` marks a boundary there.
+
+    :returns: (advantages, returns), both (B, T) float32.
+    """
+    rewards = rewards.astype(jnp.float32)
+    values = values.astype(jnp.float32)
+    next_firsts = jnp.concatenate(
+        [firsts[:, 1:], last_first[:, None]], axis=1
+    ).astype(jnp.float32)
+    nonterm = 1.0 - next_firsts                        # (B, T)
+    next_values = jnp.concatenate([values[:, 1:], last_value[:, None]], axis=1)
+    deltas = rewards + gamma * next_values * nonterm - values
+
+    def body(adv_next, xs):
+        delta_t, nonterm_t = xs
+        adv = delta_t + gamma * lam * nonterm_t * adv_next
+        return adv, adv
+
+    _, adv_rev = jax.lax.scan(
+        body,
+        jnp.zeros_like(last_value, jnp.float32),
+        (deltas[:, ::-1].T, nonterm[:, ::-1].T),       # time-major
+    )
+    advantages = adv_rev.T[:, ::-1]
+    return advantages, advantages + values
+
+
+def make_ppo_optimizer(hp: PPOHyperparams) -> optax.GradientTransformation:
+    steps = [optax.clip_by_global_norm(hp.max_grad_norm)]
+    if hp.weight_decay:
+        steps.append(optax.add_decayed_weights(hp.weight_decay))
+    steps += [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+              optax.scale(-hp.learning_rate)]
+    return optax.chain(*steps)
+
+
+class PPOTrainer:
+    """KL-anchored recurrent PPO over batched env streams."""
+
+    def __init__(
+        self,
+        policy_kwargs: Dict[str, Any],
+        pi_head_kwargs: Dict[str, Any],
+        hp: Optional[PPOHyperparams] = None,
+        mesh=None,
+        compute_dtype: str = "float32",
+        remat: bool = False,
+        seed: int = 0,
+    ):
+        self.hp = hp or PPOHyperparams()
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.cfg = PolicyConfig.from_kwargs(dict(policy_kwargs)).replace(
+            compute_dtype=compute_dtype, remat=remat
+        )
+        assert self.hp.rollout_len <= self.cfg.timesteps, (
+            f"rollout_len {self.hp.rollout_len} exceeds the policy's chunk "
+            f"geometry timesteps={self.cfg.timesteps}"
+        )
+        self.temperature = float(pi_head_kwargs.get("temperature", 1.0))
+        self.action_mapper = CameraHierarchicalMapping(n_camera_bins=11)
+        self.action_transformer = ActionTransformer(**ACTION_TRANSFORMER_KWARGS)
+        space = DictType(**self.action_mapper.get_action_space_update())
+        self.head_specs = head_specs_from_space(space)
+        self.policy = MinecraftAgentPolicy(
+            cfg=self.cfg, head_specs=self.head_specs, temperature=self.temperature
+        )
+        self.optimizer = make_ppo_optimizer(self.hp)
+        self._seed = seed
+        self._rng = jax.random.PRNGKey(seed)
+        self.variables = None
+        self.anchor_params = None       # frozen foundation parameters (π₀)
+        self.opt_state = None
+        self.kl_coef = self.hp.kl_coef
+        self.update_count = 0
+        self.hidden_state = None
+        self._act = self._build_act()
+        self._anchor_forward = self._build_anchor_forward()
+        self._ppo_step = self._build_ppo_step()
+
+    # ------------------------------------------------------------------ setup
+
+    def init(self):
+        if self.variables is not None:
+            return
+        img = jnp.zeros((1, 1) + tuple(self.cfg.img_shape), jnp.uint8)
+        state = policy_initial_state(self.cfg, 1)
+        self.variables = jax.jit(self.policy.init)(
+            jax.random.PRNGKey(self._seed), img, jnp.zeros((1, 1), bool), state
+        )
+        self.variables = jax.device_put(self.variables, replicated(self.mesh))
+        self.opt_state = jax.jit(self.optimizer.init)(self.variables["params"])
+        if self.anchor_params is None:
+            self.anchor_params = self._snapshot_anchor()
+
+    def _snapshot_anchor(self):
+        """Device-side deep copy of the current parameters for the frozen π₀.
+
+        A copy (not an alias) is required: the jitted PPO step donates the
+        trainable parameter buffers, which would invalidate an aliased anchor."""
+        return jax.jit(lambda t: jax.tree.map(jnp.copy, t))(self.variables["params"])
+
+    def load_weights(self, path: str):
+        """Load foundation weights into BOTH the trainable policy and the
+        frozen KL anchor."""
+        self.init()
+        sd = load_weights(path)
+        self.variables, report = state_dict_to_variables(
+            sd, variables=jax.tree.map(np.asarray, self.variables)
+        )
+        self.variables = jax.device_put(self.variables, replicated(self.mesh))
+        self.anchor_params = self._snapshot_anchor()
+        return report
+
+    @classmethod
+    def from_files(cls, in_model: str, in_weights: Optional[str] = None, **kw) -> "PPOTrainer":
+        policy_kwargs, pi_head_kwargs = load_model_parameters(in_model)
+        trainer = cls(policy_kwargs, pi_head_kwargs, **kw)
+        trainer.init()
+        if in_weights:
+            trainer.load_weights(in_weights)
+        return trainer
+
+    # ------------------------------------------------------------ collection
+
+    def _build_act(self):
+        policy, specs = self.policy, self.head_specs
+
+        def act(variables, img, first, state, key):
+            out, state_out = policy.apply(variables, img[:, None], first[:, None], state)
+            logits = {k: v[:, 0] for k, v in out["pi_logits"].items()}
+            key, sub = jax.random.split(key)
+            action = dict_sample(sub, logits, specs)
+            logp = dict_logprob(logits, action, specs)
+            return action, logp, out["vpred"][:, 0, 0], state_out, key
+
+        return jax.jit(act)
+
+    def _resize(self, obs_list) -> np.ndarray:
+        from vpt_tpu.data.video import native_resize_u8
+
+        res = (self.cfg.img_shape[1], self.cfg.img_shape[0])
+        return np.stack([native_resize_u8(o["pov"], res) for o in obs_list])
+
+    def collect(self, envs: List, obs: Optional[List] = None,
+                firsts: Optional[np.ndarray] = None,
+                reward_fn: Optional[Callable] = None):
+        """Roll ``hp.rollout_len`` steps of every env stream; returns the
+        trajectory buffer the update consumes, plus (obs, firsts) to thread
+        into the next collect call.
+
+        :param reward_fn: optional ``f(env_action, obs, env_reward, done) ->
+            float`` per stream, overriding the env's reward (MineRL basalt
+            envs emit none — the VPT RL phase defines its own).
+        """
+        self.init()
+        b, t_len = len(envs), self.hp.rollout_len
+        if obs is None:
+            obs = [e.reset() for e in envs]
+            firsts = np.ones(b, bool)
+            self.hidden_state = None
+        if self.hidden_state is None:
+            self.hidden_state = jax.device_put(
+                policy_initial_state(self.cfg, b), batch_sharded(self.mesh)
+            )
+        if firsts is None:
+            firsts = np.zeros(b, bool)
+
+        initial_state = self.hidden_state
+        buf = {
+            "frames": np.zeros((b, t_len) + tuple(self.cfg.img_shape), np.uint8),
+            "buttons": np.zeros((b, t_len), np.int32),
+            "camera": np.zeros((b, t_len), np.int32),
+            "logp_old": np.zeros((b, t_len), np.float32),
+            "values": np.zeros((b, t_len), np.float32),
+            "rewards": np.zeros((b, t_len), np.float32),
+            "firsts": np.zeros((b, t_len), bool),
+        }
+        data_sh = batch_sharded(self.mesh)
+        for t in range(t_len):
+            img = self._resize(obs)
+            buf["frames"][:, t] = img
+            buf["firsts"][:, t] = firsts
+            img_d = jax.device_put(img, data_sh)
+            first_d = jax.device_put(firsts, data_sh)
+            action, logp, vpred, self.hidden_state, self._rng = self._act(
+                self.variables, img_d, first_d, self.hidden_state, self._rng
+            )
+            # heads carry value_shape (1,): actions arrive (B, 1)
+            action = {k: np.asarray(v) for k, v in action.items()}
+            buf["buttons"][:, t] = action["buttons"][:, 0]
+            buf["camera"][:, t] = action["camera"][:, 0]
+            buf["logp_old"][:, t] = np.asarray(logp)
+            buf["values"][:, t] = np.asarray(vpred)
+            env_actions = self._agent_action_to_env(action)
+            next_firsts = np.zeros(b, bool)
+            for i, env in enumerate(envs):
+                env_action = {k: v[i] for k, v in env_actions.items()}
+                ob, reward, done, _info = env.step(env_action)
+                if reward_fn is not None:
+                    reward = reward_fn(env_action, ob, reward, done)
+                buf["rewards"][i, t] = reward
+                if done:
+                    ob = env.reset()
+                    next_firsts[i] = True
+                obs[i] = ob
+            firsts = next_firsts
+
+        # bootstrap value of the next (uncollected) observation; the hidden
+        # state must NOT advance past the window, so discard act's state_out
+        img_d = jax.device_put(self._resize(obs), data_sh)
+        first_d = jax.device_put(firsts, data_sh)
+        _, _, last_value, _, self._rng = self._act(
+            self.variables, img_d, first_d, self.hidden_state, self._rng
+        )
+        buf["last_value"] = np.asarray(last_value)
+        buf["last_first"] = firsts.copy()
+        buf["initial_state"] = initial_state
+        return buf, obs, firsts
+
+    def _agent_action_to_env(self, agent_action) -> Dict[str, np.ndarray]:
+        factored = self.action_mapper.to_factored(
+            {k: np.asarray(v) for k, v in agent_action.items()}
+        )
+        return self.action_transformer.policy2env(factored)
+
+    # ---------------------------------------------------------------- update
+
+    def _build_anchor_forward(self):
+        policy = self.policy
+
+        def forward(params, stats, frames, firsts, state):
+            out, _ = policy.apply({"params": params, "stats": stats}, frames, firsts, state)
+            return out["pi_logits"]
+
+        return jax.jit(forward)
+
+    def _build_ppo_step(self):
+        policy, specs, optimizer, hp = self.policy, self.head_specs, self.optimizer, self.hp
+
+        def loss_fn(params, stats, mb, state, kl_coef):
+            out, _ = policy.apply(
+                {"params": params, "stats": stats}, mb["frames"], mb["firsts"], state
+            )
+            logits = out["pi_logits"]
+            actions = {
+                "buttons": mb["buttons"][..., None],
+                "camera": mb["camera"][..., None],
+            }
+            logp = dict_logprob(logits, actions, specs)           # (B, T)
+            log_ratio = logp - mb["logp_old"]
+            ratio = jnp.exp(log_ratio)
+            adv = mb["adv"]
+            pg = -jnp.minimum(
+                ratio * adv,
+                jnp.clip(ratio, 1.0 - hp.clip_eps, 1.0 + hp.clip_eps) * adv,
+            ).mean()
+            # value regression in EWMA-normalized return space
+            # (reference: lib/scaled_mse_head.py:37-43)
+            target = ewma_normalize(stats["value_head"], mb["returns"][..., None])
+            v_loss = jnp.mean((out["vpred_raw"].astype(jnp.float32) - target) ** 2)
+            entropy = dict_entropy(logits, specs).mean()
+            anchor_kl = dict_kl(mb["anchor_logits"], logits, specs).mean()
+            total = pg + hp.vf_coef * v_loss - hp.ent_coef * entropy + kl_coef * anchor_kl
+            aux = {
+                "pg_loss": pg,
+                "v_loss": v_loss,
+                "entropy": entropy,
+                "anchor_kl": anchor_kl,
+                # E[(r−1) − log r] ≥ 0, the low-variance approx-KL(θ_old‖θ) estimator
+                "approx_kl": jnp.mean((ratio - 1.0) - log_ratio),
+                "clip_frac": jnp.mean((jnp.abs(ratio - 1.0) > hp.clip_eps).astype(jnp.float32)),
+            }
+            return total, aux
+
+        def ppo_step(variables, opt_state, mb, state, kl_coef):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                variables["params"], variables["stats"], mb, state, kl_coef
+            )
+            aux["grad_norm"] = optax.global_norm(grads)
+            aux["loss"] = loss
+            updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
+            params = optax.apply_updates(variables["params"], updates)
+            return {"params": params, "stats": variables["stats"]}, opt_state, aux
+
+        data_sh = batch_sharded(self.mesh)
+        repl = replicated(self.mesh)
+        return jax.jit(
+            ppo_step,
+            in_shardings=(repl, repl, data_sh, data_sh, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+
+    def _fold_return_stats(self, returns: np.ndarray):
+        """Fold the batch's return targets into the value head's EWMA stats
+        once per collected batch (the reference normalizer updates inside
+        every loss call; per-batch keeps the target fixed across PPO epochs)."""
+        stats = jax.tree.map(np.asarray, self.variables["stats"])
+        stats["value_head"] = jax.tree.map(
+            np.asarray,
+            ewma_updated_stats(
+                jax.tree.map(jnp.asarray, stats["value_head"]),
+                jnp.asarray(returns[..., None]),
+            ),
+        )
+        self.variables = jax.device_put(
+            {"params": self.variables["params"], "stats": stats}, replicated(self.mesh)
+        )
+
+    def update(self, traj: Dict[str, np.ndarray]) -> Dict[str, float]:
+        """PPO epochs over one collected trajectory batch; returns metrics."""
+        self.init()
+        hp = self.hp
+        b = traj["frames"].shape[0]
+        assert b % hp.n_minibatches == 0, (b, hp.n_minibatches)
+        data_sh = batch_sharded(self.mesh)
+
+        adv, returns = compute_gae(
+            jnp.asarray(traj["rewards"]), jnp.asarray(traj["values"]),
+            jnp.asarray(traj["firsts"]), jnp.asarray(traj["last_value"]),
+            jnp.asarray(traj["last_first"]), hp.gamma, hp.lam,
+        )
+        adv, returns = np.asarray(adv), np.asarray(returns)
+        if hp.normalize_advantages:
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+        self._fold_return_stats(returns)
+
+        frames_d = jax.device_put(traj["frames"], data_sh)
+        firsts_d = jax.device_put(traj["firsts"], data_sh)
+        initial_state = traj["initial_state"]
+        anchor_logits = self._anchor_forward(
+            self.anchor_params, self.variables["stats"], frames_d, firsts_d, initial_state
+        )
+
+        batch = {
+            "frames": frames_d,
+            "firsts": firsts_d,
+            "buttons": jax.device_put(traj["buttons"], data_sh),
+            "camera": jax.device_put(traj["camera"], data_sh),
+            "logp_old": jax.device_put(traj["logp_old"], data_sh),
+            "adv": jax.device_put(adv.astype(np.float32), data_sh),
+            "returns": jax.device_put(returns.astype(np.float32), data_sh),
+            "anchor_logits": anchor_logits,
+        }
+
+        rng = np.random.default_rng(self._seed + self.update_count)
+        mb_size = b // hp.n_minibatches
+        last_aux = None
+        for _ in range(hp.n_epochs):
+            perm = rng.permutation(b)
+            for m in range(hp.n_minibatches):
+                idx = np.sort(perm[m * mb_size:(m + 1) * mb_size])
+                mb = jax.tree.map(lambda x: x[idx], batch)
+                state_mb = jax.tree.map(lambda x: x[idx], initial_state)
+                mb = jax.device_put(mb, data_sh)
+                state_mb = jax.device_put(state_mb, data_sh)
+                self.variables, self.opt_state, aux = self._ppo_step(
+                    self.variables, self.opt_state, mb, state_mb, jnp.float32(self.kl_coef)
+                )
+                last_aux = aux
+        self.kl_coef *= hp.kl_decay
+        self.update_count += 1
+        metrics = {k: float(v) for k, v in last_aux.items()}
+        metrics.update(
+            mean_reward=float(traj["rewards"].mean()),
+            mean_return=float(returns.mean()),
+            kl_coef=self.kl_coef,
+        )
+        return metrics
+
+    # ------------------------------------------------------------------- run
+
+    def train(
+        self,
+        envs: List,
+        n_updates: int,
+        out_weights: Optional[str] = None,
+        reward_fn: Optional[Callable] = None,
+        metrics: Optional[MetricsLogger] = None,
+    ) -> Dict[str, float]:
+        """collect → update loop over persistent env streams."""
+        self.init()
+        metrics = metrics or MetricsLogger()
+        obs, firsts = None, None
+        start = time.time()
+        report: Dict[str, float] = {}
+        for u in range(n_updates):
+            traj, obs, firsts = self.collect(envs, obs, firsts, reward_fn=reward_fn)
+            report = self.update(traj)
+            frames = traj["frames"].shape[0] * traj["frames"].shape[1] * (u + 1)
+            metrics.log(
+                update=u,
+                frames_per_sec=frames / max(time.time() - start, 1e-9),
+                **report,
+            )
+        if out_weights:
+            save_weights(out_weights, jax.tree.map(np.asarray, self.variables))
+        return report
