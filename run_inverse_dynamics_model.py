@@ -23,12 +23,72 @@ from vpt_tpu.data.video import VideoReader
 REQUIRED_RESOLUTION = (640, 360)
 
 
+def streaming_main(agent, video_path, json_data, n_frames, stride, window_batch,
+                   out=None, max_frames=None, strict_resolution=True):
+    """Overlap-stitched labeling over an arbitrarily long video: windows slide
+    by ``stride`` < ``n_frames`` and each frame's label comes from the window
+    where it is most central (StreamingIDMLabeler)."""
+    import time
+
+    from vpt_tpu.agent import StreamingIDMLabeler
+    from vpt_tpu.data.video import VideoReader
+
+    labeler = StreamingIDMLabeler(agent, window=n_frames, stride=stride,
+                                  window_batch=window_batch)
+    out_f = open(out, "w") if out else None
+    total, t0 = 0, time.time()
+
+    def emit(labels):
+        nonlocal total
+        for idx, action in labels:
+            total += 1
+            row = {name: np.asarray(v).tolist() for name, v in action.items()}
+            if out_f:
+                out_f.write(json.dumps({"frame": idx, "action": row}) + "\n")
+            if idx < 3:
+                rec = {}
+                if json_data is not None and idx < len(json_data):
+                    rec, _ = json_action_to_env_action(json_data[idx])
+                pressed = [k for k, v in row.items() if k != "camera" and v == 1]
+                rec_pressed = [k for k, v in rec.items() if k != "camera" and v == 1]
+                print(f"frame {idx}: predicted={pressed} "
+                      f"camera={np.round(row['camera'], 2)} | recorded={rec_pressed}")
+
+    with VideoReader(video_path) as cap:
+        if strict_resolution:
+            assert (cap.width, cap.height) == REQUIRED_RESOLUTION, (
+                f"Video must be of resolution {REQUIRED_RESOLUTION}"
+            )
+        n_read = 0
+        while max_frames is None or n_read < max_frames:
+            frame = cap.read()
+            if frame is None:
+                break
+            n_read += 1
+            emit(labeler.feed(frame))
+        emit(labeler.finish())
+    dt = time.time() - t0
+    if total:
+        print(f"Labeled {total} frames in {dt:.2f}s → {total / dt:.1f} frames/sec "
+              f"(window {n_frames}, stride {stride}, {window_batch}-window batches)")
+    if out_f:
+        out_f.close()
+
+
 def main(model, weights, video_path, json_path, n_batches, n_frames, out=None,
-         out_video=None, strict_resolution=True):
+         out_video=None, strict_resolution=True, stride=None, window_batch=1):
     agent_parameters_pair = load_model_parameters(model)
     net_kwargs, pi_head_kwargs = agent_parameters_pair
     agent = IDMAgent(idm_net_kwargs=net_kwargs, pi_head_kwargs=pi_head_kwargs)
     agent.load_weights(weights)
+
+    if stride is not None and stride < n_frames:
+        json_data = _load_jsonl(json_path) if json_path else None
+        max_frames = n_batches * n_frames if n_batches else None
+        streaming_main(agent, video_path, json_data, n_frames, stride,
+                       window_batch, out=out, max_frames=max_frames,
+                       strict_resolution=strict_resolution)
+        return
 
     json_data = _load_jsonl(json_path) if json_path else None
     json_index = 0
@@ -108,6 +168,8 @@ if __name__ == "__main__":
     parser.add_argument("--out", type=str, default=None, help="Write predicted actions to this JSONL file.")
     parser.add_argument("--out-video", type=str, default=None, help="Write an annotated prediction video here.")
     parser.add_argument("--no-strict-resolution", action="store_true", help="Accept videos that are not 640x360.")
+    parser.add_argument("--stride", type=int, default=None, help="Slide windows by this many frames (< --n-frames enables overlap-stitched streaming labeling; boundary frames get bidirectional context).")
+    parser.add_argument("--window-batch", type=int, default=1, help="Streaming mode: windows labeled per forward (batch axis).")
 
     args = parser.parse_args()
 
@@ -115,4 +177,5 @@ if __name__ == "__main__":
         args.model, args.weights, args.video_path, args.jsonl_path,
         args.n_batches, args.n_frames, out=args.out, out_video=args.out_video,
         strict_resolution=not args.no_strict_resolution,
+        stride=args.stride, window_batch=args.window_batch,
     )

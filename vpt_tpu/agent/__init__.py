@@ -1,4 +1,5 @@
 from vpt_tpu.agent.agent import MineRLAgent, AGENT_RESOLUTION, ENV_KWARGS, validate_env
-from vpt_tpu.agent.idm import IDMAgent
+from vpt_tpu.agent.idm import IDMAgent, StreamingIDMLabeler
 
-__all__ = ["MineRLAgent", "IDMAgent", "AGENT_RESOLUTION", "ENV_KWARGS", "validate_env"]
+__all__ = ["MineRLAgent", "IDMAgent", "StreamingIDMLabeler", "AGENT_RESOLUTION",
+           "ENV_KWARGS", "validate_env"]

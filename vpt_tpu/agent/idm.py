@@ -111,3 +111,127 @@ class IDMAgent:
             self.variables, jnp.asarray(img), jnp.asarray(first), self.hidden_state
         )
         return self._agent_action_to_env(jax.tree.map(np.asarray, action))
+
+    def predict_actions_batched(self, windows: np.ndarray) -> Dict[str, np.ndarray]:
+        """Label a stack of already-resized windows (B, N, 128, 128, 3) in ONE
+        forward — the batch axis is the throughput axis the TPU scales.
+
+        Windows are independent (the bidirectional IDM carries no state across
+        them), so a fresh zero state is used per call.
+
+        :returns: MineRL action dict with (B, N) leading dims.
+        """
+        self._ensure_variables()
+        b = windows.shape[0]
+        state = policy_initial_state(self.cfg, b)
+        first = np.zeros(windows.shape[:2], bool)
+        action, _, _ = self._forward(
+            self.variables, jnp.asarray(windows), jnp.asarray(first), state
+        )
+        return self._agent_action_to_env(jax.tree.map(np.asarray, action))
+
+
+class StreamingIDMLabeler:
+    """Label arbitrarily long videos with overlap-stitched IDM windows.
+
+    The IDM attends bidirectionally inside an N-frame window (reference
+    policy.py:374-392 with mask "none"), so frames near a window edge see
+    context on one side only.  The reference CLI labels disjoint windows
+    (run_inverse_dynamics_model.py:146), accepting degraded boundary frames.
+    This labeler slides the window by ``stride`` ≤ ``window`` frames and
+    emits each window's CENTRAL predictions — every emitted label (outside
+    the video head/tail) has ≥ (window−stride)//2 frames of context on both
+    sides.  ``stride == window`` degrades exactly to disjoint windows.
+
+    Ownership: the window starting at s owns output region
+    [s + lo, s + lo + stride) with lo = (window − stride)//2, extended to
+    index 0 for the first window.  Whatever the complete windows did not
+    cover by end of video is owned by one final tail window built from the
+    LAST ``window`` frames (so tail frames keep full left context).
+
+    Ready windows are stacked ``window_batch`` at a time on the batch axis
+    and labeled in one jitted forward (`IDMAgent.predict_actions_batched`) —
+    the TPU throughput axis.
+
+    Usage::
+
+        labeler = StreamingIDMLabeler(agent, window=128, stride=64)
+        for frame in frames:                     # raw (H, W, C) uint8
+            for idx, action in labeler.feed(frame):
+                ...                              # global index, env action
+        for idx, action in labeler.finish():
+            ...
+    """
+
+    def __init__(self, agent: IDMAgent, window: int = 128,
+                 stride: Optional[int] = None, window_batch: int = 1):
+        stride = window if stride is None else stride
+        assert 0 < stride <= window, (stride, window)
+        assert window <= agent.cfg.timesteps, (
+            f"window {window} exceeds the IDM's trained geometry "
+            f"timesteps={agent.cfg.timesteps}"
+        )
+        assert window_batch >= 1
+        self.agent = agent
+        self.window = window
+        self.stride = stride
+        self.window_batch = window_batch
+        self._lo = (window - stride) // 2
+        from collections import deque
+
+        self._history = deque(maxlen=window)  # last `window` resized frames
+        self._next_win_start = 0              # start of the next window to cut
+        self._n_fed = 0
+        self._emitted = 0                     # next global index to emit
+        self._pending = []                    # (win_start, (N,h,w,3)) windows
+
+    def _resize(self, frame: np.ndarray) -> np.ndarray:
+        shape = self.agent.cfg.img_shape
+        return resize_image(frame, (shape[1], shape[0]))
+
+    def _label_pending(self, flush: bool = False):
+        """Run full window_batch groups (all pending when flushing)."""
+        out = []
+        while self._pending and (flush or len(self._pending) >= self.window_batch):
+            group = self._pending[: self.window_batch]
+            del self._pending[: self.window_batch]
+            actions = self.agent.predict_actions_batched(
+                np.stack([w for _, w in group])
+            )
+            for row, (win_start, _) in enumerate(group):
+                begin = max(self._emitted, 0 if win_start == 0 else win_start + self._lo)
+                end = win_start + self._lo + self.stride
+                out.extend(
+                    (i, {k: v[row, i - win_start] for k, v in actions.items()})
+                    for i in range(begin, end)
+                )
+                self._emitted = max(self._emitted, end)
+        return out
+
+    def feed(self, frame: np.ndarray):
+        """Add one raw frame; returns labels that became final as a list of
+        (global frame index, MineRL action dict), in order."""
+        self._history.append(self._resize(frame))
+        self._n_fed += 1
+        while self._n_fed - self._next_win_start >= self.window:
+            # history holds exactly [._n_fed - window, ._n_fed) ⊇ this window
+            offset = self._next_win_start - (self._n_fed - len(self._history))
+            frames = list(self._history)[offset: offset + self.window]
+            self._pending.append((self._next_win_start, np.stack(frames)))
+            self._next_win_start += self.stride
+        return self._label_pending()
+
+    def finish(self):
+        """Flush pending windows, then cover any remaining tail frames with
+        one final window of the last ``window`` frames."""
+        out = self._label_pending(flush=True)
+        if self._emitted < self._n_fed:
+            tail = list(self._history)          # min(window, n_fed) frames
+            tail_start = self._n_fed - len(tail)
+            actions = self.agent.predict_actions_batched(np.stack(tail)[None])
+            out.extend(
+                (i, {k: v[0, i - tail_start] for k, v in actions.items()})
+                for i in range(self._emitted, self._n_fed)
+            )
+            self._emitted = self._n_fed
+        return out
