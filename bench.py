@@ -167,9 +167,11 @@ IDM_4X_KWARGS = dict(
 )
 
 
-def bench_idm(window: int = 128, n_windows: int = 4, compute_dtype: str = "bfloat16"):
+def bench_idm(window: int = 128, n_windows: int = 4, compute_dtype: str = "bfloat16",
+              quantize_dense: bool = False):
     """IDM labeling throughput: frames/sec for 128-frame-window batches
-    (BASELINE.json config #3)."""
+    (BASELINE.json config #3).  ``quantize_dense`` serves the trunk's dense
+    layers from int8 weights (2x MXU peak, half the weight HBM traffic)."""
     import jax
     import jax.numpy as jnp
 
@@ -188,6 +190,16 @@ def bench_idm(window: int = 128, n_windows: int = 4, compute_dtype: str = "bfloa
     first = jnp.zeros((1, window), bool)
     state = policy_initial_state(cfg, 1)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, first, state)
+    if quantize_dense:
+        from vpt_tpu.ops.int8 import quantize_variables
+
+        qmodel = InverseActionPolicy(
+            cfg=cfg.replace(quantize_dense=True), head_specs=specs, temperature=1.0
+        )
+        template = jax.eval_shape(qmodel.init, jax.random.PRNGKey(0), img, first, state)
+        variables = quantize_variables(jax.tree.map(np.asarray, variables), template)
+        variables = jax.device_put(variables)
+        model = qmodel
 
     @jax.jit
     def label(variables, img, state):
@@ -303,6 +315,8 @@ def main():
     ap.add_argument("--remeasure-baseline", action="store_true")
     ap.add_argument("--metric", default="rollout", choices=["rollout", "rollout-e2e", "idm", "bc"])
     ap.add_argument("--width", type=int, default=2, help="Foundation width multiple (1/2/3)")
+    ap.add_argument("--quantize-dense", action="store_true",
+                    help="idm metric: serve trunk dense layers from int8 weights")
     args = ap.parse_args()
     ceiling = cached_ceiling_tflops(remeasure=args.remeasure_baseline)
 
@@ -334,9 +348,13 @@ def main():
         return
 
     if args.metric == "idm":
-        fps, fpf = bench_idm(compute_dtype=args.compute_dtype)
+        fps, fpf = bench_idm(compute_dtype=args.compute_dtype,
+                             quantize_dense=args.quantize_dense)
+        name = "4x IDM labeling throughput, 128-frame windows"
+        if args.quantize_dense:
+            name += ", int8 dense"
         print(json.dumps({
-            "metric": "4x IDM labeling throughput, 128-frame windows",
+            "metric": name,
             "value": round(fps, 2),
             "unit": "frames/sec/chip",
             "vs_baseline": None,

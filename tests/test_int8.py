@@ -1,0 +1,124 @@
+"""Int8 serving path (ops/int8.py): matmul accuracy, variable-tree
+quantization, and end-to-end IDM agent equivalence with the float graph."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vpt_tpu.ops.int8 import (
+    QuantDense,
+    dynamic_quantize_rows,
+    int8_matmul,
+    quantize_kernel,
+    quantize_variables,
+)
+
+
+def test_quantize_kernel_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(64, 32)).astype(np.float32)
+    w_q, scale = quantize_kernel(jnp.asarray(w))
+    assert w_q.dtype == jnp.int8 and scale.shape == (32,)
+    deq = np.asarray(w_q, np.float32) * np.asarray(scale)
+    # symmetric 8-bit: max error ≤ scale/2 per element
+    assert np.max(np.abs(deq - w)) <= np.max(np.asarray(scale)) / 2 + 1e-6
+
+
+def test_dynamic_rows_respects_range():
+    rng = np.random.default_rng(1)
+    x = (rng.normal(size=(5, 16)) * rng.uniform(0.01, 100, size=(5, 1))).astype(np.float32)
+    x_q, s = dynamic_quantize_rows(jnp.asarray(x))
+    assert x_q.dtype == jnp.int8
+    assert np.all(np.abs(np.asarray(x_q)) <= 127)
+    np.testing.assert_allclose(np.asarray(x_q) * np.asarray(s), x,
+                               atol=float(np.max(np.asarray(s))) / 2 + 1e-6)
+
+
+def test_int8_matmul_close_to_float():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(8, 128)).astype(np.float32)
+    w = rng.normal(size=(128, 64)).astype(np.float32)
+    w_q, scale = quantize_kernel(jnp.asarray(w))
+    got = np.asarray(int8_matmul(jnp.asarray(x), w_q, scale))
+    want = x @ w
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.02, rel
+
+
+def test_quant_dense_module_matches_reference_math():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4, 32)).astype(np.float32)
+    w = rng.normal(size=(32, 16)).astype(np.float32)
+    b = rng.normal(size=(16,)).astype(np.float32)
+    w_q, scale = quantize_kernel(jnp.asarray(w))
+    layer = QuantDense(16)
+    variables = {"params": {"kernel_q8": w_q, "kernel_scale": scale, "bias": jnp.asarray(b)}}
+    got = np.asarray(layer.apply(variables, jnp.asarray(x)))
+    want = np.asarray(int8_matmul(jnp.asarray(x), w_q, scale)) + b
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+IDM_TINY_KWARGS = dict(
+    hidsize=64,
+    impala_width=1,
+    impala_chans=[4, 8],
+    img_shape=[64, 64, 3],
+    init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+    impala_kwargs={"post_pool_groups": 1},
+    n_recurrence_layers=2,
+    timesteps=8,
+    attention_heads=4,
+    attention_memory_size=16,
+    recurrence_type="transformer",
+    attention_mask_style="none",
+    conv3d_params={"inchan": 3, "outchan": 8, "kernel_size": [5, 1, 1], "padding": [2, 0, 0]},
+    use_pre_lstm_ln=False,
+    obs_processing_width=32,
+)
+
+
+def test_idm_agent_quantized_close_to_float():
+    """The quantized serving graph produces logits close to the float graph,
+    sharing one weight set (derived via quantize_variables)."""
+    from vpt_tpu.agent import IDMAgent
+
+    float_agent = IDMAgent(idm_net_kwargs=IDM_TINY_KWARGS, pi_head_kwargs={"temperature": 1.0})
+    q_agent = IDMAgent(idm_net_kwargs=IDM_TINY_KWARGS, pi_head_kwargs={"temperature": 1.0},
+                       quantize_dense=True)
+    float_agent._ensure_variables()
+    q_agent.variables = jax.tree.map(jnp.asarray, float_agent.variables)  # share weights
+    frames = np.random.default_rng(0).integers(0, 255, (6, 90, 160, 3), dtype=np.uint8)
+
+    img = float_agent._video_obs_to_agent(frames)
+    first = np.zeros((1, img.shape[1]), bool)
+
+    _, logits_f, _ = float_agent._forward(
+        float_agent.variables, jnp.asarray(img), jnp.asarray(first), float_agent.hidden_state
+    )
+    q_agent._maybe_quantize()
+    assert q_agent._quantized
+    # int8 kernels actually present in the serving tree
+    leaves = jax.tree_util.tree_leaves_with_path(q_agent.variables)
+    q8 = [p for p, leaf in leaves if leaf.dtype == jnp.int8]
+    assert len(q8) >= 8, len(q8)  # q/k/v/proj/r + mlps across 2 blocks + ...
+    _, logits_q, _ = q_agent._forward(
+        q_agent.variables, jnp.asarray(img), jnp.asarray(first), q_agent.hidden_state
+    )
+    for key in logits_f:
+        f = np.asarray(logits_f[key], np.float64)
+        q = np.asarray(logits_q[key], np.float64)
+        rel = np.linalg.norm(q - f) / max(np.linalg.norm(f), 1e-9)
+        assert rel < 0.25, (key, rel)  # log-prob space, loose but meaningful
+
+    # the public API works end to end on the quantized graph
+    actions = q_agent.predict_actions(frames)
+    assert actions["camera"].shape == (1, 6, 2)
+
+
+def test_quantize_variables_rejects_shape_mismatch():
+    w = jnp.ones((4, 8))
+    template = jax.eval_shape(lambda: {"a": {"kernel_q8": jnp.zeros((4, 9), jnp.int8),
+                                             "kernel_scale": jnp.ones((9,))}})
+    with pytest.raises(AssertionError):
+        quantize_variables({"a": {"kernel": w}}, template)

@@ -35,8 +35,11 @@ class IDMAgent:
         device=None,  # API compat
         compute_dtype: str = "float32",
         params_dtype: str = "float32",
+        quantize_dense: bool = False,
     ):
         self.params_dtype = params_dtype
+        self.quantize_dense = quantize_dense
+        self._quantized = False
         self.action_mapper = IDMActionMapping(n_camera_bins=11)
         self.action_transformer = ActionTransformer(**ACTION_TRANSFORMER_KWARGS)
         self.cfg = PolicyConfig.from_kwargs(dict(idm_net_kwargs)).replace(
@@ -72,7 +75,41 @@ class IDMAgent:
                 jax.random.PRNGKey(0), img, jnp.zeros((1, t), bool), state
             )
 
+    def _maybe_quantize(self) -> None:
+        """Swap to the int8 serving graph: derive the quantized variable tree
+        from the (already loaded) float one and rebuild the jitted forward.
+
+        Weight quantization is symmetric per-output-channel; activations are
+        quantized per row inside each layer (vpt_tpu/ops/int8.py).
+        """
+        if not self.quantize_dense or self._quantized or self.variables is None:
+            return
+        from vpt_tpu.ops.int8 import quantize_variables
+
+        qpolicy = InverseActionPolicy(
+            cfg=self.cfg.replace(quantize_dense=True),
+            head_specs=self.head_specs,
+            temperature=self.temperature,
+        )
+        t = 2
+        img = jnp.zeros((1, t) + tuple(self.cfg.img_shape), jnp.uint8)
+        state = policy_initial_state(self.cfg, 1)
+        template = jax.eval_shape(
+            qpolicy.init, jax.random.PRNGKey(0), img, jnp.zeros((1, t), bool), state
+        )
+        self.variables = quantize_variables(self.variables, template)
+        self.policy = qpolicy
+        self._forward = self._build_forward()
+        self._quantized = True
+
     def load_weights(self, path: str) -> None:
+        if self._quantized:
+            # reload needs the float layout back; rebuild from scratch
+            self.variables, self._quantized = None, False
+            self.policy = InverseActionPolicy(
+                cfg=self.cfg, head_specs=self.head_specs, temperature=self.temperature
+            )
+            self._forward = self._build_forward()
         self._ensure_variables()
         sd = load_weights(path)
         self.variables, report = state_dict_to_variables(sd, variables=self.variables)
@@ -84,6 +121,7 @@ class IDMAgent:
                 f"[vpt_tpu] load_weights: ignored {len(report['unexpected'])} unexpected keys, "
                 f"{len(report['shape_mismatch'])} shape mismatches"
             )
+        self._maybe_quantize()
         self.reset()
 
     def reset(self) -> None:
@@ -105,6 +143,7 @@ class IDMAgent:
         """Predict actions for (N, H, W, C) frames → MineRL action dict with
         (1, N) leading dims (reference: inverse_dynamics_model.py:74-95)."""
         self._ensure_variables()
+        self._maybe_quantize()
         img = self._video_obs_to_agent(video_frames)
         first = np.zeros((1, img.shape[1]), bool)
         action, _, self.hidden_state = self._forward(
@@ -122,6 +161,7 @@ class IDMAgent:
         :returns: MineRL action dict with (B, N) leading dims.
         """
         self._ensure_variables()
+        self._maybe_quantize()
         b = windows.shape[0]
         state = policy_initial_state(self.cfg, b)
         first = np.zeros(windows.shape[:2], bool)

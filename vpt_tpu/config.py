@@ -77,6 +77,12 @@ class PolicyConfig:
     # float32; its float32 islands are at lib/xf.py:55-63, lib/action_head.py:173).
     compute_dtype: str = "float32"
 
+    # Int8 serving: the trunk's dense layers (q/k/v/proj/r, MLPs, the
+    # CNN→hidsize projection, lastlayer) use pre-quantized int8 weights with
+    # dynamic per-row activation quantization (ops/int8.py).  Serving-only —
+    # the variable tree must be derived with quantize_variables.
+    quantize_dense: bool = False
+
     @property
     def chans(self) -> Tuple[int, ...]:
         return tuple(int(self.impala_width * c) for c in self.impala_chans)

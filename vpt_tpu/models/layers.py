@@ -45,9 +45,15 @@ def normed_dense(
     use_bias: bool = True,
     name: Optional[str] = None,
     dtype=None,
-) -> nn.Dense:
+    quantize: bool = False,
+) -> nn.Module:
     """nn.Dense with fan-in-normalized init and zero bias
-    (reference NormedLinear, lib/torch_util.py:68-82)."""
+    (reference NormedLinear, lib/torch_util.py:68-82).  ``quantize`` swaps in
+    the int8 serving layer (ops/int8.py) at the same module path."""
+    if quantize:
+        from vpt_tpu.ops.int8 import QuantDense
+
+        return QuantDense(features, use_bias=use_bias, name=name, dtype=dtype)
     return nn.Dense(
         features,
         use_bias=use_bias,
@@ -86,6 +92,7 @@ class FanInInitLayer(nn.Module):
     strides: Optional[Tuple[int, ...]] = None
     padding: Any = "SAME"
     dtype: Any = jnp.float32
+    quantize: bool = False  # int8 serving path (linear layer_type only)
 
     @nn.compact
     def __call__(self, x):
@@ -104,9 +111,15 @@ class FanInInitLayer(nn.Module):
         kinit = fan_in_normed_init(self.init_scale)
         zinit = nn.initializers.zeros_init()
         if self.layer_type == "linear":
-            x = nn.Dense(self.outchan, use_bias=not has_norm, kernel_init=kinit,
-                         bias_init=zinit, name="layer", dtype=self.dtype,
-                         param_dtype=jnp.float32)(x)
+            if self.quantize:
+                from vpt_tpu.ops.int8 import QuantDense
+
+                x = QuantDense(self.outchan, use_bias=not has_norm,
+                               name="layer", dtype=self.dtype)(x)
+            else:
+                x = nn.Dense(self.outchan, use_bias=not has_norm, kernel_init=kinit,
+                             bias_init=zinit, name="layer", dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
         elif self.layer_type == "conv":
             x = nn.Conv(self.outchan, self.kernel_size, strides=self.strides,
                         padding=self.padding, use_bias=not has_norm,

@@ -125,6 +125,7 @@ class ImgObsProcess(nn.Module):
             layer_norm=cfg.dense_use_layer_norm,
             dtype=dtype,
             name="linear",
+            quantize=cfg.quantize_dense,
         )(x)
         return x
 
@@ -159,12 +160,14 @@ class MinecraftPolicy(nn.Module):
             attention_mask_style=cfg.attention_mask_style,
             dtype=dtype,
             remat=cfg.remat,
+            quantize_dense=cfg.quantize_dense,
         ) if cfg.recurrence_type != "none" else None
         self.lastlayer = FanInInitLayer(
             outchan=cfg.hidsize,
             layer_type="linear",
             layer_norm=cfg.dense_use_layer_norm,
             dtype=dtype,
+            quantize=cfg.quantize_dense,
         )
         self.final_ln = LayerNorm()
 
@@ -300,12 +303,14 @@ class InverseActionNet(nn.Module):
             attention_mask_style=cfg.attention_mask_style,
             dtype=dtype,
             remat=cfg.remat,
+            quantize_dense=cfg.quantize_dense,
         )
         self.lastlayer = FanInInitLayer(
             outchan=cfg.hidsize,
             layer_type="linear",
             layer_norm=cfg.dense_use_layer_norm,
             dtype=dtype,
+            quantize=cfg.quantize_dense,
         )
         self.final_ln = LayerNorm()
 

@@ -65,19 +65,21 @@ class SelfAttentionLayer(nn.Module):
     # path available for shapes where forming the (B,H,t,T) bias in HBM
     # hurts (long contexts).
     attention_impl: str = "xla"
+    quantize_dense: bool = False  # int8 serving path for q/k/v/proj/r
 
     def setup(self):
         s = math.sqrt(self.init_scale)
-        self.q_layer = normed_dense(self.x_size, scale=Q_SCALE, use_bias=True, dtype=self.dtype)
-        self.k_layer = normed_dense(self.x_size, scale=K_SCALE, use_bias=False, dtype=self.dtype)
-        self.v_layer = normed_dense(self.x_size, scale=V_SCALE * s, use_bias=False, dtype=self.dtype)
-        self.proj_layer = normed_dense(self.x_size, scale=PROJ_SCALE * s, use_bias=True, dtype=self.dtype)
+        q = self.quantize_dense
+        self.q_layer = normed_dense(self.x_size, scale=Q_SCALE, use_bias=True, dtype=self.dtype, quantize=q)
+        self.k_layer = normed_dense(self.x_size, scale=K_SCALE, use_bias=False, dtype=self.dtype, quantize=q)
+        self.v_layer = normed_dense(self.x_size, scale=V_SCALE * s, use_bias=False, dtype=self.dtype, quantize=q)
+        self.proj_layer = normed_dense(self.x_size, scale=PROJ_SCALE * s, use_bias=True, dtype=self.dtype, quantize=q)
         if self.norm == "layer":
             self.ln_x = LayerNorm()
         elif self.norm != "none":
             raise NotImplementedError(self.norm)
         if self.relattn:
-            self.r_layer = normed_dense(N_BASIS * self.heads, scale=R_SCALE, use_bias=True, dtype=self.dtype)
+            self.r_layer = normed_dense(N_BASIS * self.heads, scale=R_SCALE, use_bias=True, dtype=self.dtype, quantize=q)
             self.b_nd = self.param(
                 "b_nd",
                 lambda key, shape: B_SCALE * jax.random.normal(key, shape, jnp.float32),
@@ -192,6 +194,7 @@ class MaskedAttention(nn.Module):
     use_muP_factor: bool = True
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    quantize_dense: bool = False
 
     @property
     def maxlen(self) -> int:
@@ -216,6 +219,7 @@ class MaskedAttention(nn.Module):
             norm="none",
             dtype=self.dtype,
             attention_impl=self.attention_impl,
+            quantize_dense=self.quantize_dense,
         )
 
     def __call__(self, x_bte: jnp.ndarray, first_bt: jnp.ndarray, state: Dict[str, jnp.ndarray]):
@@ -285,6 +289,7 @@ class ResidualRecurrentBlock(nn.Module):
     attention_mask_style: str = "clipped_causal"
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    quantize_dense: bool = False
 
     def setup(self):
         s = self.init_scale
@@ -299,6 +304,7 @@ class ResidualRecurrentBlock(nn.Module):
                 init_scale=1.0,
                 layer_norm=True,
                 dtype=self.dtype,
+                quantize=self.quantize_dense,
             )
             self.mlp1 = FanInInitLayer(
                 outchan=self.hidsize,
@@ -306,6 +312,7 @@ class ResidualRecurrentBlock(nn.Module):
                 init_scale=s,
                 use_activation=self.pointwise_use_activation,
                 dtype=self.dtype,
+                quantize=self.quantize_dense,
             )
         self.pre_r_ln = LayerNorm()
         if self.recurrence_type == "transformer":
@@ -319,6 +326,7 @@ class ResidualRecurrentBlock(nn.Module):
                 use_muP_factor=True,
                 dtype=self.dtype,
                 attention_impl=self.attention_impl,
+                quantize_dense=self.quantize_dense,
             )
         elif self.recurrence_type in ("multi_layer_lstm", "multi_layer_bilstm"):
             self.r = nn.OptimizedLSTMCell(
@@ -395,6 +403,7 @@ class ResidualRecurrentBlocks(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
     remat: bool = False
+    quantize_dense: bool = False
 
     def setup(self):
         init_scale = self.n_block ** -0.5 if self.is_residual else 1.0
@@ -414,6 +423,7 @@ class ResidualRecurrentBlocks(nn.Module):
                 attention_mask_style=self.attention_mask_style,
                 dtype=self.dtype,
                 attention_impl=self.attention_impl,
+                quantize_dense=self.quantize_dense,
             )
             for _ in range(self.n_block)
         ]
