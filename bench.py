@@ -95,7 +95,8 @@ def roofline_fields(fps, flops_per_item, ceiling_tflops):
     }
 
 
-def bench_tpu(n_streams: int = N_STREAMS, compute_dtype: str = "bfloat16", width: int = 2):
+def bench_tpu(n_streams: int = N_STREAMS, compute_dtype: str = "bfloat16", width: int = 2,
+              params_dtype: str = "float32", quantize_dense: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -116,6 +117,23 @@ def bench_tpu(n_streams: int = N_STREAMS, compute_dtype: str = "bfloat16", width
     first = jnp.zeros((n_streams, 1), bool)
     state = policy_initial_state(cfg, n_streams, ring=True)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, first, state)
+    if quantize_dense:
+        # the t=1 decode is weight-read-bound (the 2x trunk reads ~1.6 GB of
+        # f32 dense weights per step); int8 kernels quarter that traffic
+        from vpt_tpu.ops.int8 import quantize_variables
+
+        qmodel = MinecraftAgentPolicy(
+            cfg=cfg.replace(quantize_dense=True), head_specs=specs, temperature=2.0
+        )
+        template = jax.eval_shape(qmodel.init, jax.random.PRNGKey(0), img, first, state)
+        variables = jax.device_put(
+            quantize_variables(jax.tree.map(np.asarray, variables), template)
+        )
+        model = qmodel
+    elif params_dtype != "float32":
+        from vpt_tpu.checkpoint import cast_params
+
+        variables = cast_params(variables, params_dtype)
 
     @jax.jit
     def step(variables, img, first, state, key):
@@ -316,7 +334,9 @@ def main():
     ap.add_argument("--metric", default="rollout", choices=["rollout", "rollout-e2e", "idm", "bc"])
     ap.add_argument("--width", type=int, default=2, help="Foundation width multiple (1/2/3)")
     ap.add_argument("--quantize-dense", action="store_true",
-                    help="idm metric: serve trunk dense layers from int8 weights")
+                    help="idm/rollout metrics: serve trunk dense layers from int8 weights")
+    ap.add_argument("--params-dtype", default="float32", choices=["float32", "bfloat16"],
+                    help="rollout metric: serving parameter storage dtype")
     args = ap.parse_args()
     ceiling = cached_ceiling_tflops(remeasure=args.remeasure_baseline)
 
@@ -362,7 +382,9 @@ def main():
         }))
         return
 
-    fps, fpf = bench_tpu(n_streams=args.streams, compute_dtype=args.compute_dtype, width=args.width)
+    fps, fpf = bench_tpu(n_streams=args.streams, compute_dtype=args.compute_dtype,
+                         width=args.width, params_dtype=args.params_dtype,
+                         quantize_dense=args.quantize_dense)
 
     baseline = None
     cache = {}
@@ -384,8 +406,13 @@ def main():
             print(f"# baseline measurement failed: {e!r}", flush=True)
             baseline = None
 
+    variant = ""
+    if args.quantize_dense:
+        variant = ", int8 dense"
+    elif args.params_dtype != "float32":
+        variant = f", {args.params_dtype} params"
     result = {
-        "metric": f"policy rollout throughput, {args.width}x-width foundation arch, {args.streams} streams, KV cache",
+        "metric": f"policy rollout throughput, {args.width}x-width foundation arch, {args.streams} streams, KV cache{variant}",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline, 2) if baseline else None,

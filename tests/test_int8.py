@@ -122,3 +122,45 @@ def test_quantize_variables_rejects_shape_mismatch():
                                              "kernel_scale": jnp.ones((9,))}})
     with pytest.raises(AssertionError):
         quantize_variables({"a": {"kernel": w}}, template)
+
+
+POLICY_TINY_KWARGS = dict(
+    hidsize=64,
+    impala_width=1,
+    impala_chans=[4, 8],
+    img_shape=[64, 64, 3],
+    init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+    impala_kwargs={"post_pool_groups": 1},
+    n_recurrence_layers=2,
+    timesteps=4,
+    attention_heads=4,
+    attention_memory_size=8,
+    recurrence_type="transformer",
+    attention_mask_style="clipped_causal",
+    use_pre_lstm_ln=False,
+    obs_processing_width=32,
+)
+
+
+def test_minerl_agent_quantized_serving():
+    """MineRLAgent(quantize_dense=True): the int8 graph serves through the
+    public get_action API and its value predictions track the float graph."""
+    from vpt_tpu.agent import MineRLAgent
+
+    f_agent = MineRLAgent(policy_kwargs=POLICY_TINY_KWARGS, pi_head_kwargs={"temperature": 2.0},
+                          batch_size=2, decode_on_device=False)
+    q_agent = MineRLAgent(policy_kwargs=POLICY_TINY_KWARGS, pi_head_kwargs={"temperature": 2.0},
+                          batch_size=2, decode_on_device=False, quantize_dense=True)
+    f_agent._ensure_variables()
+    q_agent.variables = jax.tree.map(jnp.asarray, f_agent.variables)  # share weights
+
+    rng = np.random.default_rng(0)
+    obs = [{"pov": rng.integers(0, 255, (360, 640, 3), dtype=np.uint8)} for _ in range(2)]
+    actions = q_agent.get_action(obs)
+    assert q_agent._quantized
+    assert isinstance(actions, list) and len(actions) == 2
+    assert "camera" in actions[0] and "attack" in actions[0]
+
+    v_f = f_agent.predict_value(obs)
+    v_q = q_agent.predict_value(obs)
+    np.testing.assert_allclose(v_q, v_f, atol=0.15)

@@ -99,8 +99,14 @@ class MineRLAgent:
         ring_cache: bool = True,
         decode_on_device: bool = True,
         params_dtype: str = "float32",
+        quantize_dense: bool = False,
     ):
         self.params_dtype = params_dtype
+        # int8 trunk serving (ops/int8.py): the t=1 decode is weight-read-
+        # bound, so int8 kernels quarter the dominant HBM traffic
+        # (measured +11% over f32 params at 64 streams, 2x width)
+        self.quantize_dense = quantize_dense
+        self._quantized = False
         self.resize_on_device = resize_on_device
         # decode sampled joint actions to the factored env space inside the
         # jitted step: ONE (B, 23) device→host transfer per step (buttons,
@@ -173,7 +179,7 @@ class MineRLAgent:
         # being copied every step (4 blocks × 2 × (B, maxlen, hid) per policy)
         return jax.jit(step, static_argnames=("stochastic",), donate_argnums=(3,))
 
-    def _ensure_variables(self):
+    def _ensure_variables(self, quantize: bool = True):
         if self.variables is None:
             img = jnp.zeros((1, 1) + tuple(self.cfg.img_shape), jnp.uint8)
             state = policy_initial_state(self.cfg, 1)
@@ -181,10 +187,41 @@ class MineRLAgent:
                 jax.random.PRNGKey(0), img, jnp.zeros((1, 1), bool), state
             )
             self.variables = cast_params(self.variables, self.params_dtype)
+        if quantize:
+            self._maybe_quantize()
+
+    def _maybe_quantize(self) -> None:
+        """Swap to the int8 serving graph: derive the quantized variable tree
+        from the loaded float one and rebuild the jitted step."""
+        if not self.quantize_dense or self._quantized or self.variables is None:
+            return
+        from vpt_tpu.ops.int8 import quantize_variables
+
+        qpolicy = MinecraftAgentPolicy(
+            cfg=self.cfg.replace(quantize_dense=True),
+            head_specs=self.head_specs,
+            temperature=self.temperature,
+        )
+        img = jnp.zeros((1, 1) + tuple(self.cfg.img_shape), jnp.uint8)
+        state = policy_initial_state(self.cfg, 1)
+        template = jax.eval_shape(
+            qpolicy.init, jax.random.PRNGKey(0), img, jnp.zeros((1, 1), bool), state
+        )
+        self.variables = quantize_variables(self.variables, template)
+        self.policy = qpolicy
+        self._step = self._build_step()
+        self._quantized = True
 
     def load_weights(self, path: str) -> None:
         """Load a reference ``.weights`` file (strict=False) and reset state."""
-        self._ensure_variables()
+        if self._quantized:
+            # reload needs the float layout back; rebuild from scratch
+            self.variables, self._quantized = None, False
+            self.policy = MinecraftAgentPolicy(
+                cfg=self.cfg, head_specs=self.head_specs, temperature=self.temperature
+            )
+            self._step = self._build_step()
+        self._ensure_variables(quantize=False)
         sd = load_weights(path)
         self.variables, report = state_dict_to_variables(sd, variables=self.variables)
         self.variables = cast_params(self.variables, self.params_dtype)
@@ -193,6 +230,7 @@ class MineRLAgent:
                 f"[vpt_tpu] load_weights: ignored {len(report['unexpected'])} unexpected keys, "
                 f"{len(report['shape_mismatch'])} shape mismatches"
             )
+        self._maybe_quantize()
         self.reset()
 
     def reset(self) -> None:
