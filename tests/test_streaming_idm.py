@@ -127,3 +127,30 @@ def test_streaming_is_deterministic(agent):
     for (_, x), (_, y) in zip(a, b):
         for key in x:
             np.testing.assert_array_equal(np.asarray(x[key]), np.asarray(y[key]))
+
+
+def test_predict_actions_batched_shards_over_mesh(agent):
+    """Window labeling is pure data parallelism: an 8-device dp mesh must
+    produce bitwise the same labels as the unsharded agent."""
+    import jax
+
+    from vpt_tpu.agent import IDMAgent
+    from vpt_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8
+    sharded = IDMAgent(idm_net_kwargs=IDM_TINY_KWARGS, pi_head_kwargs={"temperature": 1.0},
+                       mesh=make_mesh(n_dp=8))
+    agent._ensure_variables()
+    import jax.numpy as jnp
+
+    sharded.variables = jax.tree.map(jnp.asarray, agent.variables)
+
+    rng = np.random.default_rng(7)
+    windows = rng.integers(0, 255, (8, 8, 64, 64, 3), dtype=np.uint8)
+    want = agent.predict_actions_batched(windows)
+    got = sharded.predict_actions_batched(windows)
+    for key in want:
+        np.testing.assert_array_equal(np.asarray(got[key]), np.asarray(want[key]), err_msg=key)
+    # params ended up replicated, inputs sharded — the variables survived
+    leaf = jax.tree_util.tree_leaves(sharded.variables)[0]
+    assert leaf.sharding.is_fully_replicated

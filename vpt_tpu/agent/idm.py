@@ -36,10 +36,15 @@ class IDMAgent:
         compute_dtype: str = "float32",
         params_dtype: str = "float32",
         quantize_dense: bool = False,
+        mesh=None,
     ):
         self.params_dtype = params_dtype
         self.quantize_dense = quantize_dense
         self._quantized = False
+        # Multi-chip labeling: windows are independent, so scale-out is pure
+        # data parallelism — replicate the params over ``mesh``, shard the
+        # window (batch) axis on dp, and predict_actions_batched runs SPMD.
+        self.mesh = mesh
         self.action_mapper = IDMActionMapping(n_camera_bins=11)
         self.action_transformer = ActionTransformer(**ACTION_TRANSFORMER_KWARGS)
         self.cfg = PolicyConfig.from_kwargs(dict(idm_net_kwargs)).replace(
@@ -165,9 +170,17 @@ class IDMAgent:
         b = windows.shape[0]
         state = policy_initial_state(self.cfg, b)
         first = np.zeros(windows.shape[:2], bool)
-        action, _, _ = self._forward(
-            self.variables, jnp.asarray(windows), jnp.asarray(first), state
-        )
+        img = jnp.asarray(windows)
+        first = jnp.asarray(first)
+        if self.mesh is not None and b % self.mesh.devices.size == 0:
+            from vpt_tpu.parallel.mesh import batch_sharded, replicated
+
+            data_sh = batch_sharded(self.mesh)
+            self.variables = jax.device_put(self.variables, replicated(self.mesh))
+            img = jax.device_put(img, data_sh)
+            first = jax.device_put(first, data_sh)
+            state = jax.device_put(state, data_sh)
+        action, _, _ = self._forward(self.variables, img, first, state)
         return self._agent_action_to_env(jax.tree.map(np.asarray, action))
 
 
