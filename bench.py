@@ -238,19 +238,22 @@ def bench_idm(window: int = 128, n_windows: int = 4, compute_dtype: str = "bfloa
 
 
 def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
-                   compute_dtype: str = "bfloat16"):
-    """Sequence-chunked BC training throughput (frames/sec) for the 1x-width
-    foundation architecture (BASELINE.json config #4's compute core)."""
+                   compute_dtype: str = "bfloat16", width: int = 1):
+    """Sequence-chunked BC training throughput (frames/sec) for the
+    foundation architecture at ``width`` (BASELINE.json config #4's compute
+    core).  width≥2 at chunk 128 needs CNN scan-chunking to fit 16 GB."""
     import jax
 
     from vpt_tpu.config import FOUNDATION_POLICY_KWARGS
     from vpt_tpu.parallel.mesh import make_mesh
     from vpt_tpu.training.bc import BCHyperparams, BCTrainer
 
-    kwargs = dict(FOUNDATION_POLICY_KWARGS, hidsize=1024, impala_width=4)  # 1x width
+    kwargs = dict(FOUNDATION_POLICY_KWARGS, hidsize=1024 * width, impala_width=4 * width)
     hp = BCHyperparams(batch_size=batch, chunk_len=chunk)
+    scan_chunks = 8 if (width >= 2 and batch * chunk >= 512) else 0
     trainer = BCTrainer(kwargs, {"temperature": 2.0}, hp=hp,
-                        mesh=make_mesh(), compute_dtype=compute_dtype, remat=True)
+                        mesh=make_mesh(), compute_dtype=compute_dtype, remat=True,
+                        cnn_scan_chunks=scan_chunks)
     trainer.init()
     rng = np.random.default_rng(0)
     b = {
@@ -332,7 +335,8 @@ def main():
     ap.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--remeasure-baseline", action="store_true")
     ap.add_argument("--metric", default="rollout", choices=["rollout", "rollout-e2e", "idm", "bc"])
-    ap.add_argument("--width", type=int, default=2, help="Foundation width multiple (1/2/3)")
+    ap.add_argument("--width", type=int, default=None,
+                    help="Foundation width multiple (1/2/3); default 2 for rollout, 1 for bc")
     ap.add_argument("--quantize-dense", action="store_true",
                     help="idm/rollout metrics: serve trunk dense layers from int8 weights")
     ap.add_argument("--params-dtype", default="float32", choices=["float32", "bfloat16"],
@@ -341,6 +345,7 @@ def main():
     ceiling = cached_ceiling_tflops(remeasure=args.remeasure_baseline)
 
     if args.metric == "rollout-e2e":
+        args.width = args.width or 2
         streams = args.streams if args.streams != N_STREAMS else 128
         fps = bench_rollout_e2e(n_streams=streams, width=args.width,
                                 compute_dtype=args.compute_dtype)
@@ -356,15 +361,23 @@ def main():
         return
 
     if args.metric == "bc":
-        fps, fpf, h2d = bench_bc_train(compute_dtype=args.compute_dtype)
-        print(json.dumps({
-            "metric": "1x BC training throughput, sequence-chunked DP, pipelined input",
+        width = args.width or 1
+        chunk = 128 if width >= 2 else 32
+        fps, fpf, h2d = bench_bc_train(compute_dtype=args.compute_dtype,
+                                       width=width, chunk=chunk)
+        out = {
+            "metric": f"{width}x BC training throughput (T={chunk}), sequence-chunked DP, pipelined input",
             "value": round(fps, 2),
             "unit": "frames/sec/chip",
             "vs_baseline": None,
             "h2d_seconds_per_batch": round(h2d, 3),
             **roofline_fields(fps, fpf, ceiling),
-        }))
+        }
+        if width >= 2:
+            # XLA cost analysis counts a scanned (While) body once, so the
+            # CNN-scan-chunked config underreports FLOPs/frame and utilization
+            out["flops_note"] = "underreported: scanned CNN body counted once by cost analysis"
+        print(json.dumps(out))
         return
 
     if args.metric == "idm":
@@ -382,6 +395,7 @@ def main():
         }))
         return
 
+    args.width = args.width or 2
     fps, fpf = bench_tpu(n_streams=args.streams, compute_dtype=args.compute_dtype,
                          width=args.width, params_dtype=args.params_dtype,
                          quantize_dense=args.quantize_dense)

@@ -26,7 +26,8 @@ def demo_attack_reward(env_action, obs, reward, done):
 
 def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
          updates=50, rollout_len=40, learning_rate=3e-5, kl_coef=0.2,
-         compute_dtype="bfloat16", metrics_path=None):
+         compute_dtype="bfloat16", metrics_path=None, checkpoint_dir=None,
+         checkpoint_every=0, resume=False):
     hp = PPOHyperparams(
         rollout_len=rollout_len,
         learning_rate=learning_rate,
@@ -53,6 +54,8 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
     report = trainer.train(
         envs, updates, out_weights=out_weights, reward_fn=reward_fn,
         metrics=MetricsLogger(path=metrics_path),
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        resume=resume,
     )
     print(f"Done: {report}")
 
@@ -70,10 +73,15 @@ if __name__ == "__main__":
     parser.add_argument("--kl-coef", type=float, default=0.2, help="Initial weight of KL(foundation ‖ policy).")
     parser.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
     parser.add_argument("--metrics-path", type=str, default=None, help="Append JSONL metrics here.")
+    parser.add_argument("--checkpoint-dir", type=str, default=None, help="Preemption-safe checkpoints here (policy + anchor + optimizer + anneal state).")
+    parser.add_argument("--checkpoint-every", type=int, default=0, help="Updates between checkpoints (0 = only on SIGTERM/SIGINT).")
+    parser.add_argument("--resume", action="store_true", help="Continue from the newest checkpoint in --checkpoint-dir.")
     args = parser.parse_args()
     main(
         args.in_model, args.in_weights, args.out_weights, mock_env=args.mock_env,
         streams=args.streams, updates=args.updates, rollout_len=args.rollout_len,
         learning_rate=args.learning_rate, kl_coef=args.kl_coef,
         compute_dtype=args.compute_dtype, metrics_path=args.metrics_path,
+        checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
     )

@@ -217,3 +217,36 @@ def test_ppo_dp_mesh_smoke():
     traj, _, _ = trainer.collect(envs, reward_fn=lambda a, o, r, d: 1.0)
     metrics = trainer.update(traj)
     assert np.isfinite(metrics["loss"])
+
+
+def test_ppo_checkpoint_resume(tmp_path):
+    """save_checkpoint → fresh trainer → resume restores policy, anchor,
+    optimizer moments, rng, and the KL anneal state exactly."""
+    trainer = _make_trainer(b=2, rollout_len=4, n_minibatches=1, kl_decay=0.5)
+    envs = _envs(2)
+    obs = firsts = None
+    for _ in range(2):
+        traj, obs, firsts = trainer.collect(envs, obs, firsts,
+                                            reward_fn=lambda a, o, r, d: 1.0)
+        trainer.update(traj)
+    trainer.save_checkpoint(str(tmp_path))
+
+    fresh = _make_trainer(b=2, rollout_len=4, n_minibatches=1, kl_decay=0.5)
+    assert fresh.resume(str(tmp_path))
+    assert fresh.update_count == 2
+    assert fresh.kl_coef == pytest.approx(trainer.kl_coef)
+    np.testing.assert_array_equal(np.asarray(fresh._rng), np.asarray(trainer._rng))
+    for a, b in zip(jax.tree_util.tree_leaves(fresh.variables),
+                    jax.tree_util.tree_leaves(trainer.variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(fresh.anchor_params),
+                    jax.tree_util.tree_leaves(trainer.anchor_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(fresh.opt_state),
+                    jax.tree_util.tree_leaves(trainer.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the resumed trainer continues training (train() loop honors the count)
+    report = fresh.train(_envs(2), 3, reward_fn=lambda a, o, r, d: 1.0)
+    assert fresh.update_count == 3
+    assert np.isfinite(report["loss"])

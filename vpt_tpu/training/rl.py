@@ -457,6 +457,57 @@ class PPOTrainer:
         )
         return metrics
 
+    # ------------------------------------------------------- checkpoint/resume
+
+    def _ckpt_trees(self):
+        return (
+            {
+                "variables": jax.tree.map(np.asarray, self.variables),
+                "anchor_params": jax.tree.map(np.asarray, self.anchor_params),
+            },
+            jax.tree.map(np.asarray, self.opt_state),
+        )
+
+    def save_checkpoint(self, directory: str) -> None:
+        """Preemption-safe snapshot: policy + frozen anchor + optimizer
+        moments + (kl_coef, update_count, rng) — everything a resumed run
+        needs to continue the anneal exactly."""
+        from vpt_tpu.checkpoint import native as native_ckpt
+
+        trees, opt = self._ckpt_trees()
+        native_ckpt.save_checkpoint(
+            directory,
+            self.update_count,
+            trees,
+            opt_state=opt,
+            data_state={"kl_coef": self.kl_coef, "update_count": self.update_count},
+            rng_key=np.asarray(self._rng),
+        )
+
+    def resume(self, directory: str) -> bool:
+        """Restore the latest checkpoint from ``directory``; returns False
+        when none exists."""
+        from vpt_tpu.checkpoint import native as native_ckpt
+
+        self.init()
+        trees, opt = self._ckpt_trees()
+        template = {"variables": trees, "opt_state": opt, "rng_key": np.asarray(self._rng)}
+        payload, data_state = native_ckpt.restore_checkpoint(directory, template=template)
+        if payload is None:
+            return False
+        repl = replicated(self.mesh)
+        self.variables = jax.device_put(payload["variables"]["variables"], repl)
+        self.anchor_params = jax.device_put(payload["variables"]["anchor_params"], repl)
+        ref_state = jax.jit(self.optimizer.init)(self.variables["params"])
+        self.opt_state = jax.tree.map(
+            lambda ref, x: jax.device_put(x, ref.sharding), ref_state, payload["opt_state"]
+        )
+        self._rng = jnp.asarray(payload["rng_key"])
+        self.kl_coef = float(data_state["kl_coef"])
+        self.update_count = int(data_state["update_count"])
+        self.hidden_state = None  # envs restart; state re-initializes on collect
+        return True
+
     # ------------------------------------------------------------------- run
 
     def train(
@@ -466,22 +517,58 @@ class PPOTrainer:
         out_weights: Optional[str] = None,
         reward_fn: Optional[Callable] = None,
         metrics: Optional[MetricsLogger] = None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
     ) -> Dict[str, float]:
-        """collect → update loop over persistent env streams."""
+        """collect → update loop over persistent env streams.
+
+        With ``checkpoint_dir``, snapshots every ``checkpoint_every`` updates
+        and on SIGTERM/SIGINT (preemption); ``resume=True`` continues from the
+        newest snapshot (same contract as BCTrainer.train)."""
+        import signal
+
         self.init()
+        if resume and checkpoint_dir:
+            self.resume(checkpoint_dir)
         metrics = metrics or MetricsLogger()
+        stop_requested = {"flag": False}
+
+        def _request_stop(signum, frame):
+            stop_requested["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # non-main thread
+                pass
         obs, firsts = None, None
         start = time.time()
+        frames = 0
         report: Dict[str, float] = {}
-        for u in range(n_updates):
-            traj, obs, firsts = self.collect(envs, obs, firsts, reward_fn=reward_fn)
-            report = self.update(traj)
-            frames = traj["frames"].shape[0] * traj["frames"].shape[1] * (u + 1)
-            metrics.log(
-                update=u,
-                frames_per_sec=frames / max(time.time() - start, 1e-9),
-                **report,
-            )
+        try:
+            while self.update_count < n_updates:
+                traj, obs, firsts = self.collect(envs, obs, firsts, reward_fn=reward_fn)
+                report = self.update(traj)
+                frames += traj["frames"].shape[0] * traj["frames"].shape[1]
+                metrics.log(
+                    update=self.update_count - 1,
+                    frames_per_sec=frames / max(time.time() - start, 1e-9),
+                    **report,
+                )
+                checkpoint_now = (
+                    checkpoint_dir and checkpoint_every
+                    and self.update_count % checkpoint_every == 0
+                )
+                if checkpoint_now or (stop_requested["flag"] and checkpoint_dir):
+                    self.save_checkpoint(checkpoint_dir)
+                if stop_requested["flag"]:
+                    metrics.log(event="preempted", update=self.update_count)
+                    break
+        finally:
+            for sig, handler in old_handlers.items():
+                signal.signal(sig, handler)
         if out_weights:
             save_weights(out_weights, jax.tree.map(np.asarray, self.variables))
         return report
