@@ -27,12 +27,16 @@ def demo_attack_reward(env_action, obs, reward, done):
 def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
          updates=50, rollout_len=40, learning_rate=3e-5, kl_coef=0.2,
          compute_dtype="bfloat16", metrics_path=None, checkpoint_dir=None,
-         checkpoint_every=0, resume=False):
+         checkpoint_every=0, resume=False, aux_phase_every=0, aux_epochs=4,
+         beta_clone=1.0):
     hp = PPOHyperparams(
         rollout_len=rollout_len,
         learning_rate=learning_rate,
         kl_coef=kl_coef,
         n_minibatches=2 if streams % 2 == 0 else 1,
+        aux_phase_every=aux_phase_every,
+        aux_epochs=aux_epochs,
+        beta_clone=beta_clone,
     )
     trainer = PPOTrainer.from_files(
         in_model, in_weights, hp=hp, compute_dtype=compute_dtype
@@ -76,6 +80,9 @@ if __name__ == "__main__":
     parser.add_argument("--checkpoint-dir", type=str, default=None, help="Preemption-safe checkpoints here (policy + anchor + optimizer + anneal state).")
     parser.add_argument("--checkpoint-every", type=int, default=0, help="Updates between checkpoints (0 = only on SIGTERM/SIGINT).")
     parser.add_argument("--resume", action="store_true", help="Continue from the newest checkpoint in --checkpoint-dir.")
+    parser.add_argument("--aux-phase-every", type=int, default=0, help="PPG: run the auxiliary (value + clone-KL) phase every N updates (0 = plain PPO).")
+    parser.add_argument("--aux-epochs", type=int, default=4, help="PPG: epochs over the buffered rollouts per aux phase.")
+    parser.add_argument("--beta-clone", type=float, default=1.0, help="PPG: weight of the KL that pins the policy during the aux phase.")
     args = parser.parse_args()
     main(
         args.in_model, args.in_weights, args.out_weights, mock_env=args.mock_env,
@@ -83,5 +90,6 @@ if __name__ == "__main__":
         learning_rate=args.learning_rate, kl_coef=args.kl_coef,
         compute_dtype=args.compute_dtype, metrics_path=args.metrics_path,
         checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
-        resume=args.resume,
+        resume=args.resume, aux_phase_every=args.aux_phase_every,
+        aux_epochs=args.aux_epochs, beta_clone=args.beta_clone,
     )

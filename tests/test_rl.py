@@ -250,3 +250,69 @@ def test_ppo_checkpoint_resume(tmp_path):
     report = fresh.train(_envs(2), 3, reward_fn=lambda a, o, r, d: 1.0)
     assert fresh.update_count == 3
     assert np.isfinite(report["loss"])
+
+
+def test_ppg_aux_phase_schedule():
+    """With aux_phase_every=2 the phase fires on the 2nd update, reports aux
+    metrics, and consumes the rollout buffer."""
+    trainer = _make_trainer(b=2, rollout_len=4, n_minibatches=1,
+                            aux_phase_every=2, aux_epochs=2)
+    envs = _envs(2)
+    obs = firsts = None
+    traj, obs, firsts = trainer.collect(envs, reward_fn=lambda a, o, r, d: 1.0)
+    m1 = trainer.update(traj)
+    assert "aux_v_loss" not in m1 and len(trainer._aux_buffer) == 1
+    traj, obs, firsts = trainer.collect(envs, obs, firsts,
+                                        reward_fn=lambda a, o, r, d: 1.0)
+    m2 = trainer.update(traj)
+    assert np.isfinite(m2["aux_v_loss"]) and np.isfinite(m2["aux_clone_kl"])
+    assert trainer._aux_buffer == []
+
+
+def test_ppg_aux_phase_trains_value_without_moving_policy():
+    """The aux phase in isolation: value fit on the buffered rollouts
+    improves, while the clone KL keeps the policy pinned.  (The EWMA stats
+    are constant inside the phase, so pre/post MSE are comparable.)"""
+    import jax.numpy as jnp
+
+    from vpt_tpu.models.heads import ewma_normalize
+
+    # aux never auto-triggers: we call _aux_phase directly around probes
+    trainer = _make_trainer(b=2, rollout_len=8, n_minibatches=1,
+                            aux_phase_every=1000, aux_epochs=6, beta_clone=1.0,
+                            learning_rate=1e-3)
+    envs = _envs(2)
+    rng = np.random.default_rng(3)
+    obs = firsts = None
+    for _ in range(2):
+        traj, obs, firsts = trainer.collect(
+            envs, obs, firsts, reward_fn=lambda a, o, r, d: float(rng.normal())
+        )
+        trainer.update(traj)
+    entries = list(trainer._aux_buffer)
+    assert len(entries) == 2
+
+    def value_mse(entry):
+        out, _ = jax.jit(trainer.policy.apply)(
+            trainer.variables, jnp.asarray(entry["frames"]),
+            jnp.asarray(entry["firsts"]), entry["initial_state"],
+        )
+        target = ewma_normalize(
+            jax.tree.map(jnp.asarray, trainer.variables["stats"])["value_head"],
+            jnp.asarray(entry["returns"])[..., None],
+        )
+        return float(jnp.mean((out["vpred_raw"].astype(jnp.float32) - target) ** 2))
+
+    probe = np.random.default_rng(0).integers(0, 255, (2, 4, 32, 32, 3), dtype=np.uint8)
+    pre_mse = sum(value_mse(e) for e in entries)
+    p_pre = _attack_prob(trainer, probe)
+
+    aux = trainer._aux_phase()
+    assert trainer._aux_buffer == []
+
+    post_mse = sum(value_mse(e) for e in entries)
+    assert post_mse < pre_mse, (pre_mse, post_mse)
+    # the clone KL held the policy in place through 6 epochs of trunk updates
+    assert aux["aux_clone_kl"] < 0.05, aux
+    p_post = _attack_prob(trainer, probe)
+    assert abs(p_post - p_pre) < 0.02, (p_pre, p_post)

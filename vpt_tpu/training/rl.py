@@ -78,6 +78,14 @@ class PPOHyperparams:
     n_minibatches: int = 2              # stream-axis splits per epoch
     rollout_len: int = 40               # T steps collected per update
     normalize_advantages: bool = True
+    # Phasic policy gradient (Cobbe et al. 2021; the VPT paper's RL
+    # algorithm): every ``aux_phase_every`` policy updates, run
+    # ``aux_epochs`` of an auxiliary phase over the buffered rollouts that
+    # trains the (trunk-shared) value head hard while a behavioral-cloning
+    # KL to the pre-aux policy keeps π fixed.  0 = plain PPO.
+    aux_phase_every: int = 0
+    aux_epochs: int = 4
+    beta_clone: float = 1.0
 
 
 def compute_gae(rewards, values, firsts, last_value, last_first,
@@ -161,9 +169,11 @@ class PPOTrainer:
         self.kl_coef = self.hp.kl_coef
         self.update_count = 0
         self.hidden_state = None
+        self._aux_buffer: List[Dict[str, Any]] = []  # PPG: rollouts since last aux phase
         self._act = self._build_act()
         self._anchor_forward = self._build_anchor_forward()
         self._ppo_step = self._build_ppo_step()
+        self._aux_step = self._build_aux_step()
 
     # ------------------------------------------------------------------ setup
 
@@ -379,6 +389,78 @@ class PPOTrainer:
             donate_argnums=(0, 1),
         )
 
+    def _build_aux_step(self):
+        """PPG auxiliary objective: value regression + β_clone·KL(π_old ‖ π_θ).
+
+        π and V share the trunk here (as in the VPT architecture), so the aux
+        phase is how the value function trains hard without wrecking the
+        policy — the clone KL pins π to its pre-aux snapshot.  The Adam state
+        is shared with the policy phase (single-network PPG)."""
+        policy, hp, specs = self.policy, self.hp, self.head_specs
+        optimizer = self.optimizer
+
+        def aux_step(variables, opt_state, mb, state):
+            def loss_fn(params, stats):
+                out, _ = policy.apply(
+                    {"params": params, "stats": stats}, mb["frames"], mb["firsts"], state
+                )
+                target = ewma_normalize(stats["value_head"], mb["returns"][..., None])
+                v_loss = jnp.mean((out["vpred_raw"].astype(jnp.float32) - target) ** 2)
+                clone_kl = dict_kl(mb["old_logits"], out["pi_logits"], specs).mean()
+                return v_loss + hp.beta_clone * clone_kl, (v_loss, clone_kl)
+
+            (loss, (v_loss, clone_kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                variables["params"], variables["stats"]
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
+            params = optax.apply_updates(variables["params"], updates)
+            return (
+                {"params": params, "stats": variables["stats"]},
+                opt_state,
+                {"aux_v_loss": v_loss, "aux_clone_kl": clone_kl},
+            )
+
+        data_sh = batch_sharded(self.mesh)
+        repl = replicated(self.mesh)
+        return jax.jit(
+            aux_step,
+            in_shardings=(repl, repl, data_sh, data_sh),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+
+    def _aux_phase(self) -> Dict[str, float]:
+        """Run ``aux_epochs`` over every rollout buffered since the last aux
+        phase; clears the buffer.  Clone targets (π just before aux) are
+        computed once per rollout."""
+        hp = self.hp
+        data_sh = batch_sharded(self.mesh)
+        prepared = []
+        for entry in self._aux_buffer:
+            frames = jax.device_put(entry["frames"], data_sh)
+            firsts = jax.device_put(entry["firsts"], data_sh)
+            old_logits = self._anchor_forward(
+                self.variables["params"], self.variables["stats"],
+                frames, firsts, entry["initial_state"],
+            )
+            prepared.append((
+                {
+                    "frames": frames,
+                    "firsts": firsts,
+                    "returns": jax.device_put(entry["returns"], data_sh),
+                    "old_logits": old_logits,
+                },
+                entry["initial_state"],
+            ))
+        self._aux_buffer = []
+        aux = {"aux_v_loss": float("nan"), "aux_clone_kl": float("nan")}
+        for _ in range(hp.aux_epochs):
+            for mb, state in prepared:
+                self.variables, self.opt_state, aux = self._aux_step(
+                    self.variables, self.opt_state, mb, state
+                )
+        return {k: float(v) for k, v in aux.items()}
+
     def _fold_return_stats(self, returns: np.ndarray):
         """Fold the batch's return targets into the value head's EWMA stats
         once per collected batch (the reference normalizer updates inside
@@ -455,6 +537,17 @@ class PPOTrainer:
             mean_return=float(returns.mean()),
             kl_coef=self.kl_coef,
         )
+        if hp.aux_phase_every:
+            # PPG: buffer this rollout (host frames stay host; returns are the
+            # aux value targets) and run the auxiliary phase on schedule
+            self._aux_buffer.append({
+                "frames": traj["frames"],
+                "firsts": traj["firsts"],
+                "returns": returns.astype(np.float32),
+                "initial_state": initial_state,
+            })
+            if self.update_count % hp.aux_phase_every == 0:
+                metrics.update(self._aux_phase())
         return metrics
 
     # ------------------------------------------------------- checkpoint/resume
