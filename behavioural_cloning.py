@@ -16,7 +16,8 @@ from vpt_tpu.training.bc import BCHyperparams, BCTrainer
 def behavioural_cloning_train(data_dir, in_model, in_weights, out_weights,
                               batch_size=8, chunk_len=128, epochs=2,
                               checkpoint_dir=None, checkpoint_every=0,
-                              resume=False, compute_dtype="float32", remat=False, cnn_scan_chunks=0):
+                              resume=False, compute_dtype="float32", remat=False, cnn_scan_chunks=0,
+                              fsdp=1, sp=1, tp=1):
     hp = BCHyperparams(
         batch_size=batch_size,
         chunk_len=chunk_len,
@@ -24,8 +25,13 @@ def behavioural_cloning_train(data_dir, in_model, in_weights, out_weights,
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
     )
+    mesh = None
+    if fsdp > 1 or sp > 1 or tp > 1:
+        from vpt_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_fsdp=fsdp, n_sp=sp, n_tp=tp)
     trainer = BCTrainer.from_files(in_model, in_weights, hp=hp, compute_dtype=compute_dtype, remat=remat,
-                                   cnn_scan_chunks=cnn_scan_chunks)
+                                   cnn_scan_chunks=cnn_scan_chunks, mesh=mesh)
     steps = trainer.train(
         data_dir,
         out_weights,
@@ -50,6 +56,10 @@ if __name__ == "__main__":
     parser.add_argument("--remat", action="store_true", help="Rematerialize activations (memory for FLOPs)")
     parser.add_argument("--cnn-scan-chunks", type=int, default=0,
                         help="Sequentialize the CNN over N chunks to bound activation memory (needed for 2x/3x at T=128 on 16GB chips)")
+    parser.add_argument("--fsdp", type=int, default=1,
+                        help="ZeRO-3 axis size: shard params + Adam moments over this many chips (batch shards over dp*fsdp)")
+    parser.add_argument("--sp", type=int, default=1, help="Sequence-parallel axis size: shard the chunk time axis")
+    parser.add_argument("--tp", type=int, default=1, help="Tensor-parallel axis size: Megatron-style kernel sharding")
 
     args = parser.parse_args()
     behavioural_cloning_train(
@@ -57,5 +67,5 @@ if __name__ == "__main__":
         batch_size=args.batch_size, chunk_len=args.chunk_len, epochs=args.epochs,
         checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
         resume=args.resume, compute_dtype=args.compute_dtype, remat=args.remat,
-        cnn_scan_chunks=args.cnn_scan_chunks,
+        cnn_scan_chunks=args.cnn_scan_chunks, fsdp=args.fsdp, sp=args.sp, tp=args.tp,
     )

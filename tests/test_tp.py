@@ -107,6 +107,6 @@ def test_tp_training_matches_single_device():
 
 def test_dp_tp_mesh_geometry():
     mesh = make_mesh(n_dp=4, n_tp=2)
-    assert mesh.shape == {"dp": 4, "tp": 2}
+    assert mesh.shape == {"pp": 1, "dp": 4, "fsdp": 1, "sp": 1, "tp": 2}
     mesh2 = make_mesh()  # all devices on dp
     assert mesh2.shape["dp"] == len(jax.devices())

@@ -172,14 +172,22 @@ class IDMAgent:
         first = np.zeros(windows.shape[:2], bool)
         img = jnp.asarray(windows)
         first = jnp.asarray(first)
-        if self.mesh is not None and b % self.mesh.devices.size == 0:
-            from vpt_tpu.parallel.mesh import batch_sharded, replicated
+        if self.mesh is not None:
+            from vpt_tpu.parallel.mesh import batch_sharded, replicated, seq_sharded
 
-            data_sh = batch_sharded(self.mesh)
-            self.variables = jax.device_put(self.variables, replicated(self.mesh))
-            img = jax.device_put(img, data_sh)
-            first = jax.device_put(first, data_sh)
-            state = jax.device_put(state, data_sh)
+            n_sp = int(self.mesh.shape.get("sp", 1))
+            n_batch = self.mesh.devices.size // n_sp
+            if b % n_batch == 0:
+                # windows shard over the batch axes; with an sp axis the
+                # 128-frame TIME dim also shards — the per-frame CNN (the
+                # FLOPs bulk, ~65 of 67.5 GFLOP/frame at 4x) partitions over
+                # T for free, and SPMD all-gathers K/V inside the
+                # bidirectional window attention
+                data_sh = seq_sharded(self.mesh) if n_sp > 1 else batch_sharded(self.mesh)
+                self.variables = jax.device_put(self.variables, replicated(self.mesh))
+                img = jax.device_put(img, data_sh)
+                first = jax.device_put(first, data_sh)
+                state = jax.device_put(state, batch_sharded(self.mesh))
         action, _, _ = self._forward(self.variables, img, first, state)
         return self._agent_action_to_env(jax.tree.map(np.asarray, action))
 

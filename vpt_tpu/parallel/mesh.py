@@ -10,10 +10,31 @@ Axes:
   * ``dp`` — data parallel: batch/stream dimension of every input, gradient
     psum.  The VPT policies (≤0.5B params) replicate comfortably per chip, so
     DP is the primary axis for both BC training and batched rollout/labeling.
-  * ``tp`` — tensor parallel: reserved for width-sharding the 3x/4x models'
-    matmuls when a config outgrows one chip's HBM; plumbed through
-    ``make_mesh`` so multi-axis meshes compile today (dryrun covers a
-    (dp, tp) mesh) even though published checkpoints don't need it.
+  * ``fsdp`` — fully-sharded data parallel (ZeRO-3): also a *batch* axis for
+    the data (the global batch shards over dp×fsdp jointly), but parameters,
+    gradients, and Adam moments shard over it instead of replicating — see
+    ``parallel/fsdp.py``.  Weight all-gathers ride this axis every step, so it
+    sits inside dp (faster ICI links) in the device grid.
+  * ``sp`` — sequence parallel: shards the TIME axis of (B, T, ...) data.
+    VPT's per-frame CNN (the FLOPs bulk) partitions over T with zero
+    communication; inside attention the SPMD partitioner inserts the K/V
+    all-gathers over the window.  Useful when a single long window (IDM
+    labeling with big ``timesteps``, long BC chunks) outgrows one chip's
+    activation memory — batch axes stay the first choice when batch is
+    plentiful.
+  * ``tp`` — tensor parallel: width-sharding of individual matmuls
+    (``parallel/tp.py``); innermost so tensor-shard collectives ride the
+    fastest links.  Reserved headroom for configs beyond the published ≤0.5B
+    checkpoints.
+  * ``pp`` — pipeline parallel: GPipe-style staging of the transformer
+    block stack (``parallel/pp.py``); outermost, since its point-to-point
+    activation handoffs tolerate the slowest links.
+
+(No ``ep`` axis: the VPT model family has no mixture-of-experts anywhere —
+SURVEY.md §2 — so expert parallelism has nothing to shard.)
+
+All five compose in one ("pp", "dp", "fsdp", "sp", "tp") mesh; unused axes
+have size 1 and cost nothing.
 """
 
 from __future__ import annotations
@@ -51,15 +72,26 @@ def maybe_initialize_distributed() -> bool:
     return False
 
 
-def make_mesh(n_dp: Optional[int] = None, n_tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
-    """Mesh over the available devices: (dp, tp), tp innermost so tensor
-    shards ride the fastest ICI links."""
+def make_mesh(
+    n_dp: Optional[int] = None,
+    n_tp: int = 1,
+    n_fsdp: int = 1,
+    n_sp: int = 1,
+    n_pp: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Mesh over the available devices: (pp, dp, fsdp, sp, tp) — tp innermost
+    so tensor shards ride the fastest ICI links, sp/fsdp next (per-step
+    activation/weight collectives), dp next (one gradient reduction per
+    step), pp outermost (point-to-point activation handoffs tolerate the
+    slowest links)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_dp is None:
-        n_dp = len(devices) // n_tp
-    assert n_dp * n_tp <= len(devices), (n_dp, n_tp, len(devices))
-    grid = np.asarray(devices[: n_dp * n_tp]).reshape(n_dp, n_tp)
-    return Mesh(grid, ("dp", "tp"))
+        n_dp = len(devices) // (n_tp * n_fsdp * n_sp * n_pp)
+    n_used = n_pp * n_dp * n_fsdp * n_sp * n_tp
+    assert n_used <= len(devices), (n_pp, n_dp, n_fsdp, n_sp, n_tp, len(devices))
+    grid = np.asarray(devices[:n_used]).reshape(n_pp, n_dp, n_fsdp, n_sp, n_tp)
+    return Mesh(grid, ("pp", "dp", "fsdp", "sp", "tp"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -67,8 +99,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharded(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch / stream) axis over dp."""
-    return NamedSharding(mesh, P("dp"))
+    """Shard the leading (batch / stream) axis over every data axis present
+    (dp, and fsdp when the mesh has one — under FSDP the global batch still
+    splits over all chips; only the weights' home changes)."""
+    axes = tuple(a for a in ("dp", "fsdp") if a in mesh.axis_names)
+    return NamedSharding(mesh, P(axes))
+
+
+def seq_sharded(mesh: Mesh) -> NamedSharding:
+    """(B, T, ...) arrays: batch over dp×fsdp, TIME over sp.  Identical to
+    :func:`batch_sharded` when the mesh has no sp axis (or sp=1)."""
+    axes = tuple(a for a in ("dp", "fsdp") if a in mesh.axis_names)
+    sp = "sp" if "sp" in mesh.axis_names else None
+    return NamedSharding(mesh, P(axes, sp))
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -7,7 +7,9 @@ TPU-native upgrades over the reference's loop:
     gradient accumulation of batch-size-1 graphs;
   * one jitted train step, data-parallel over the device mesh: batch and
     recurrent state are sharded on ``dp``, parameters replicated, XLA psums
-    the gradients over ICI;
+    the gradients over ICI; pass a mesh with an ``fsdp`` (and/or ``tp``) axis
+    to shard parameters + Adam moments instead (parallel/fsdp.py) when the
+    config outgrows replicated-Adam HBM;
   * recurrent state carried across an episode's consecutive chunks
     (truncated-BPTT at chunk boundaries, vs the reference's 1-step
     truncation at behavioural_cloning.py:111);
@@ -36,7 +38,7 @@ from vpt_tpu.checkpoint import load_model_parameters, load_weights, save_weights
 from vpt_tpu.config import PolicyConfig
 from vpt_tpu.models.heads import dict_logprob, head_specs_from_space
 from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
-from vpt_tpu.parallel.mesh import batch_sharded, make_mesh, replicated
+from vpt_tpu.parallel.mesh import batch_sharded, make_mesh, replicated, seq_sharded
 from vpt_tpu.spaces import DictType
 from vpt_tpu.utils.metrics import MetricsLogger
 
@@ -165,12 +167,37 @@ class BCTrainer:
     def _tp(self) -> int:
         return int(self.mesh.shape.get("tp", 1))
 
+    @property
+    def _fsdp(self) -> int:
+        return int(self.mesh.shape.get("fsdp", 1))
+
+    @property
+    def _params_sharded(self) -> bool:
+        return self._tp > 1 or self._fsdp > 1
+
     def _place_variables(self, variables):
-        if self._tp > 1:
-            from vpt_tpu.parallel.tp import shard_variables
+        if self._params_sharded:
+            from vpt_tpu.parallel.fsdp import shard_variables
 
             return shard_variables(variables, self.mesh)
         return jax.device_put(variables, replicated(self.mesh))
+
+    def _init_opt_state(self, params):
+        """Adam moments placed exactly like their parameters.
+
+        Eager ``optimizer.init`` preserves each committed param's sharding
+        through ``zeros_like`` (jit would NOT: zero outputs have no data
+        dependence on the inputs, so the compiler is free to lay them out
+        unsharded); stray single-device leaves (the step counter scalar) are
+        re-placed replicated so the train step sees one consistent mesh."""
+        opt_state = self.optimizer.init(params)
+        repl = replicated(self.mesh)
+        from jax.sharding import NamedSharding
+
+        return jax.tree.map(
+            lambda x: x if isinstance(x.sharding, NamedSharding) else jax.device_put(x, repl),
+            opt_state,
+        )
 
     def init(self):
         if self.variables is not None:
@@ -181,8 +208,7 @@ class BCTrainer:
             jax.random.PRNGKey(self._seed), img, jnp.zeros((1, 1), bool), state
         )
         self.variables = self._place_variables(self.variables)
-        # optimizer moments inherit the parameter shardings via jit propagation
-        self.opt_state = jax.jit(self.optimizer.init)(self.variables["params"])
+        self.opt_state = self._init_opt_state(self.variables["params"])
 
     def load_weights(self, path: str):
         self.init()
@@ -232,16 +258,19 @@ class BCTrainer:
             state_out = jax.tree.map(jax.lax.stop_gradient, state_out)
             return {"params": params, "stats": variables["stats"]}, opt_state, state_out, loss, grad_norm
 
-        if self._tp > 1:
-            # params carry explicit tp shardings on the arrays themselves;
-            # jit propagates them (and the dp batch shardings) through SPMD
+        if self._params_sharded:
+            # params carry explicit tp/fsdp shardings on the arrays themselves;
+            # jit propagates them (and the data batch shardings) through SPMD:
+            # weight all-gathers on use, gradient reduce-scatter onto the
+            # fsdp shards, and donation keeps params/moments in place
             return jax.jit(train_step, donate_argnums=(0, 1, 3))
-        data_sh = batch_sharded(self.mesh)
+        data_sh = seq_sharded(self.mesh)     # (B, T, …): batch over dp×fsdp, time over sp
+        state_sh = batch_sharded(self.mesh)  # recurrent state: batch axis only
         repl = replicated(self.mesh)
         return jax.jit(
             train_step,
-            in_shardings=(repl, repl, data_sh, data_sh),
-            out_shardings=(repl, repl, data_sh, repl, repl),
+            in_shardings=(repl, repl, data_sh, state_sh),
+            out_shardings=(repl, repl, state_sh, repl, repl),
             donate_argnums=(0, 1, 3),
         )
 
@@ -261,7 +290,7 @@ class BCTrainer:
                 "firsts": batch["firsts"].astype(bool),
                 "mask": batch["mask"].astype(bool),
             }
-            batch = jax.tree.map(lambda x: jax.device_put(x, batch_sharded(self.mesh)), batch)
+            batch = jax.tree.map(lambda x: jax.device_put(x, seq_sharded(self.mesh)), batch)
         self.variables, self.opt_state, state, loss, grad_norm = self._train_step(
             self.variables, self.opt_state, batch, state
         )
@@ -321,8 +350,8 @@ class BCTrainer:
             if payload is not None:
                 self.variables = self._place_variables(payload["variables"])
                 # place restored moments exactly like a fresh optimizer.init
-                # would (replicated, or tp-sharded following the params)
-                ref_state = jax.jit(self.optimizer.init)(self.variables["params"])
+                # would (replicated, or tp/fsdp-sharded following the params)
+                ref_state = self._init_opt_state(self.variables["params"])
                 self.opt_state = jax.tree.map(
                     lambda ref, x: jax.device_put(x, ref.sharding), ref_state, payload["opt_state"]
                 )
@@ -384,7 +413,7 @@ class BCTrainer:
         try:
             # H2D transfer of batch k+1 overlaps the device compute of step k
             for batch in DevicePrefetcher(
-                with_episode_firsts(loader), batch_sharded(self.mesh)
+                with_episode_firsts(loader), seq_sharded(self.mesh)
             ):
                 data_cursor = batch.pop("_cursor")
                 state, loss, grad_norm = self.train_step(batch, state)
