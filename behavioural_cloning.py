@@ -17,7 +17,7 @@ def behavioural_cloning_train(data_dir, in_model, in_weights, out_weights,
                               batch_size=8, chunk_len=128, epochs=2,
                               checkpoint_dir=None, checkpoint_every=0,
                               resume=False, compute_dtype="float32", remat=False, cnn_scan_chunks=0,
-                              fsdp=1, sp=1, tp=1):
+                              fsdp=1, sp=1, tp=1, qat_dense=False):
     hp = BCHyperparams(
         batch_size=batch_size,
         chunk_len=chunk_len,
@@ -31,7 +31,7 @@ def behavioural_cloning_train(data_dir, in_model, in_weights, out_weights,
 
         mesh = make_mesh(n_fsdp=fsdp, n_sp=sp, n_tp=tp)
     trainer = BCTrainer.from_files(in_model, in_weights, hp=hp, compute_dtype=compute_dtype, remat=remat,
-                                   cnn_scan_chunks=cnn_scan_chunks, mesh=mesh)
+                                   cnn_scan_chunks=cnn_scan_chunks, mesh=mesh, qat_dense=qat_dense)
     steps = trainer.train(
         data_dir,
         out_weights,
@@ -60,6 +60,9 @@ if __name__ == "__main__":
                         help="ZeRO-3 axis size: shard params + Adam moments over this many chips (batch shards over dp*fsdp)")
     parser.add_argument("--sp", type=int, default=1, help="Sequence-parallel axis size: shard the chunk time axis")
     parser.add_argument("--tp", type=int, default=1, help="Tensor-parallel axis size: Megatron-style kernel sharding")
+    parser.add_argument("--qat-dense", action="store_true",
+                        help="Quantization-aware training: forward against int8-rounded dense weights "
+                             "(straight-through gradients) so int8 serving loses no fidelity")
 
     args = parser.parse_args()
     behavioural_cloning_train(
@@ -68,4 +71,5 @@ if __name__ == "__main__":
         checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
         resume=args.resume, compute_dtype=args.compute_dtype, remat=args.remat,
         cnn_scan_chunks=args.cnn_scan_chunks, fsdp=args.fsdp, sp=args.sp, tp=args.tp,
+        qat_dense=args.qat_dense,
     )

@@ -164,3 +164,93 @@ def test_minerl_agent_quantized_serving():
     v_f = f_agent.predict_value(obs)
     v_q = q_agent.predict_value(obs)
     np.testing.assert_allclose(v_q, v_f, atol=0.15)
+
+
+# ------------------------------------------------------------------- QAT
+
+
+def test_fake_quant_kernel_matches_serving_dequant():
+    """QAT forward values == exactly what int8 serving dequantizes to."""
+    from vpt_tpu.ops.int8 import fake_quant_kernel
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(48, 24)).astype(np.float32))
+    w_q, scale = quantize_kernel(w)
+    np.testing.assert_array_equal(
+        np.asarray(fake_quant_kernel(w)),
+        np.asarray(w_q, np.float32) * np.asarray(scale),
+    )
+
+
+def test_fake_quant_kernel_straight_through_gradient():
+    from vpt_tpu.ops.int8 import fake_quant_kernel
+
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+    g = jax.grad(lambda w: jnp.sum(fake_quant_kernel(w) * 3.0))(w)
+    np.testing.assert_array_equal(np.asarray(g), np.full((16, 8), 3.0, np.float32))
+
+
+def test_fake_quant_dense_params_targets_only_dense_kernels():
+    from vpt_tpu.ops.int8 import fake_quant_dense_params, fake_quant_kernel
+
+    rng = np.random.default_rng(9)
+    params = {
+        "mlp0": {"layer": {"kernel": jnp.asarray(rng.normal(size=(8, 16)), jnp.float32),
+                           "bias": jnp.zeros(16)}},
+        "conv": {"kernel": jnp.asarray(rng.normal(size=(3, 3, 4, 8)), jnp.float32)},
+        "ln": {"scale": jnp.ones(8)},
+    }
+    out = fake_quant_dense_params(params)
+    np.testing.assert_array_equal(
+        np.asarray(out["mlp0"]["layer"]["kernel"]),
+        np.asarray(fake_quant_kernel(params["mlp0"]["layer"]["kernel"])),
+    )
+    # conv kernels, biases, norms untouched
+    np.testing.assert_array_equal(np.asarray(out["conv"]["kernel"]),
+                                  np.asarray(params["conv"]["kernel"]))
+    np.testing.assert_array_equal(np.asarray(out["ln"]["scale"]), np.ones(8))
+
+
+def test_qat_bc_train_step_runs_and_matches_serving_weights():
+    """A QAT train step runs; the loss it computes equals the loss of the
+    plain trainer evaluated at the fake-quantized parameters (training sees
+    serving numerics on the weight side)."""
+    from vpt_tpu.ops.int8 import fake_quant_dense_params
+    from vpt_tpu.parallel.mesh import make_mesh
+    from vpt_tpu.training.bc import BCHyperparams, BCTrainer
+
+    kwargs = dict(
+        hidsize=64, impala_width=1, impala_chans=[4, 8], img_shape=[32, 32, 3],
+        init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+        impala_kwargs={"post_pool_groups": 1}, n_recurrence_layers=2, timesteps=4,
+        attention_heads=4, attention_memory_size=8, recurrence_type="transformer",
+        attention_mask_style="clipped_causal", use_pre_lstm_ln=False,
+        obs_processing_width=32,
+    )
+    rng = np.random.default_rng(11)
+    batch = {
+        "frames": rng.integers(0, 255, (4, 4, 32, 32, 3), dtype=np.uint8),
+        "buttons": rng.integers(0, 8641, (4, 4)).astype(np.int32),
+        "camera": rng.integers(0, 121, (4, 4)).astype(np.int32),
+        "firsts": np.zeros((4, 4), bool),
+        "mask": np.ones((4, 4), bool),
+    }
+    hp = BCHyperparams(batch_size=4, chunk_len=4)
+    mesh = make_mesh(n_dp=1, devices=jax.devices()[:1])
+
+    t_qat = BCTrainer(kwargs, {"temperature": 2.0}, hp=hp, mesh=mesh, seed=0, qat_dense=True)
+    t_qat.init()
+    _, loss_qat, _ = t_qat.train_step(batch, t_qat.initial_state(4))
+    assert np.isfinite(float(loss_qat))
+
+    # same seed → identical initial params; pre-quantize them and run the
+    # PLAIN trainer: its loss must equal what the QAT step reported
+    t_ref = BCTrainer(kwargs, {"temperature": 2.0}, hp=hp, mesh=mesh, seed=0)
+    t_ref.init()
+    t_ref.variables = {
+        "params": fake_quant_dense_params(t_ref.variables["params"]),
+        "stats": t_ref.variables["stats"],
+    }
+    _, loss_ref, _ = t_ref.train_step(batch, t_ref.initial_state(4))
+    np.testing.assert_allclose(float(loss_qat), float(loss_ref), rtol=1e-6)

@@ -219,6 +219,40 @@ def test_ppo_dp_mesh_smoke():
     assert np.isfinite(metrics["loss"])
 
 
+def test_ppo_fsdp_update_matches_single_device():
+    """The PPO update on a (dp=2, fsdp=4) mesh must equal the single-device
+    update — with params, Adam moments, and the frozen anchor all actually
+    sharded over fsdp."""
+    hp_kw = dict(rollout_len=4, n_minibatches=1, n_epochs=1)
+
+    def make(mesh):
+        hp = PPOHyperparams(**hp_kw)
+        t = PPOTrainer(TINY_KWARGS, {"temperature": 2.0}, hp=hp, mesh=mesh, seed=0)
+        t.init()
+        return t
+
+    # one shared trajectory, collected once on the single-device trainer
+    t1 = make(make_mesh(n_dp=1, devices=jax.devices()[:1]))
+    traj, _, _ = t1.collect(_envs(8), reward_fn=lambda a, o, r, d: 1.0)
+    traj = jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, traj)
+
+    tf = make(make_mesh(n_dp=2, n_fsdp=4))
+    hk = tf.variables["params"]["pi_head"]["buttons"]["linear_layer"]["kernel"]
+    assert "fsdp" in tuple(hk.sharding.spec)
+    ak = tf.anchor_params["pi_head"]["buttons"]["linear_layer"]["kernel"]
+    assert "fsdp" in tuple(ak.sharding.spec)
+
+    m1 = t1.update(dict(traj))
+    mf = tf.update(dict(traj))
+    np.testing.assert_allclose(mf["loss"], m1["loss"], rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(tf.variables["params"]),
+                    jax.tree.leaves(t1.variables["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
+    # moments stayed sharded through the donated step
+    hk2 = tf.variables["params"]["pi_head"]["buttons"]["linear_layer"]["kernel"]
+    assert "fsdp" in tuple(hk2.sharding.spec)
+
+
 def test_ppo_checkpoint_resume(tmp_path):
     """save_checkpoint → fresh trainer → resume restores policy, anchor,
     optimizer moments, rng, and the KL anneal state exactly."""

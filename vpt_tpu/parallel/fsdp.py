@@ -79,3 +79,27 @@ def shard_variables(variables, mesh: Mesh, min_size: int = MIN_SHARD_SIZE):
         variables,
         variables_shardings(variables, mesh, min_size),
     )
+
+
+def place_variables(variables, mesh: Mesh):
+    """Place a variables tree for training on ``mesh``: sharded when the mesh
+    has an active fsdp/tp axis, replicated otherwise."""
+    if mesh.shape.get("fsdp", 1) > 1 or mesh.shape.get("tp", 1) > 1:
+        return shard_variables(variables, mesh)
+    return jax.device_put(variables, NamedSharding(mesh, P()))
+
+
+def init_opt_state(optimizer, params, mesh: Mesh):
+    """Optimizer state placed exactly like its parameters.
+
+    Eager ``optimizer.init`` preserves each committed param's sharding
+    through ``zeros_like`` (jit would NOT: zero outputs have no data
+    dependence on the inputs, so the compiler is free to lay them out
+    unsharded); stray single-device leaves (the step-counter scalar) are
+    re-placed replicated so the train step sees one consistent mesh."""
+    opt_state = optimizer.init(params)
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: x if isinstance(x.sharding, NamedSharding) else jax.device_put(x, repl),
+        opt_state,
+    )

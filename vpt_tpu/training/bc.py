@@ -140,6 +140,7 @@ class BCTrainer:
         compute_dtype: str = "float32",
         remat: bool = False,
         cnn_scan_chunks: int = 0,
+        qat_dense: bool = False,
         seed: int = 0,
     ):
         self.hp = hp or BCHyperparams()
@@ -155,6 +156,9 @@ class BCTrainer:
             cfg=self.cfg, head_specs=self.head_specs, temperature=self.temperature
         )
         self.optimizer = make_optimizer(self.hp)
+        # QAT: train against the int8-rounded dense weights (straight-through
+        # gradients) so the quantize_dense serving path loses no fidelity
+        self.qat_dense = qat_dense
         self._seed = seed
         self.variables = None
         self.opt_state = None
@@ -176,28 +180,16 @@ class BCTrainer:
         return self._tp > 1 or self._fsdp > 1
 
     def _place_variables(self, variables):
-        if self._params_sharded:
-            from vpt_tpu.parallel.fsdp import shard_variables
+        from vpt_tpu.parallel.fsdp import place_variables
 
-            return shard_variables(variables, self.mesh)
-        return jax.device_put(variables, replicated(self.mesh))
+        return place_variables(variables, self.mesh)
 
     def _init_opt_state(self, params):
-        """Adam moments placed exactly like their parameters.
+        """Adam moments placed exactly like their parameters (see
+        parallel/fsdp.py:init_opt_state for why this must be eager)."""
+        from vpt_tpu.parallel.fsdp import init_opt_state
 
-        Eager ``optimizer.init`` preserves each committed param's sharding
-        through ``zeros_like`` (jit would NOT: zero outputs have no data
-        dependence on the inputs, so the compiler is free to lay them out
-        unsharded); stray single-device leaves (the step counter scalar) are
-        re-placed replicated so the train step sees one consistent mesh."""
-        opt_state = self.optimizer.init(params)
-        repl = replicated(self.mesh)
-        from jax.sharding import NamedSharding
-
-        return jax.tree.map(
-            lambda x: x if isinstance(x.sharding, NamedSharding) else jax.device_put(x, repl),
-            opt_state,
-        )
+        return init_opt_state(self.optimizer, params, self.mesh)
 
     def init(self):
         if self.variables is not None:
@@ -230,8 +222,13 @@ class BCTrainer:
 
     def _build_train_step(self):
         policy, specs, optimizer = self.policy, self.head_specs, self.optimizer
+        qat = self.qat_dense
 
         def loss_fn(params, stats, batch, state):
+            if qat:
+                from vpt_tpu.ops.int8 import fake_quant_dense_params
+
+                params = fake_quant_dense_params(params)
             variables = {"params": params, "stats": stats}
             out, state_out = policy.apply(
                 variables, batch["frames"], batch["firsts"], state

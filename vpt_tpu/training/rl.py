@@ -24,7 +24,10 @@ code** — this module supplies the capability TPU-natively:
     are constants w.r.t. θ) instead of re-running the frozen net every epoch;
   * the update step is jitted and data-parallel over the device mesh
     (minibatches shard streams on ``dp``, parameters replicated, XLA psums
-    the gradients over ICI) — the same distribution scheme as BCTrainer.
+    the gradients over ICI) — the same distribution scheme as BCTrainer,
+    including fsdp/tp meshes: with an ``fsdp`` axis the trainable params,
+    Adam moments, AND the frozen anchor copy all shard ZeRO-3 style
+    (parallel/fsdp.py), tripling the HBM headroom PPO needs vs BC.
 
 Exact RL-phase hyperparameters were not published in the reference release;
 defaults below follow the paper's stated shape (PPO, γ close to 1 for
@@ -177,6 +180,21 @@ class PPOTrainer:
 
     # ------------------------------------------------------------------ setup
 
+    @property
+    def _params_sharded(self) -> bool:
+        """True when the mesh shards parameters (fsdp ZeRO-3 and/or tp).
+        PPO benefits doubly from fsdp: the trainable params, the Adam
+        moments, AND the frozen anchor copy all shard over the axis."""
+        return (
+            int(self.mesh.shape.get("fsdp", 1)) > 1
+            or int(self.mesh.shape.get("tp", 1)) > 1
+        )
+
+    def _place_variables(self, variables):
+        from vpt_tpu.parallel.fsdp import place_variables
+
+        return place_variables(variables, self.mesh)
+
     def init(self):
         if self.variables is not None:
             return
@@ -185,8 +203,10 @@ class PPOTrainer:
         self.variables = jax.jit(self.policy.init)(
             jax.random.PRNGKey(self._seed), img, jnp.zeros((1, 1), bool), state
         )
-        self.variables = jax.device_put(self.variables, replicated(self.mesh))
-        self.opt_state = jax.jit(self.optimizer.init)(self.variables["params"])
+        self.variables = self._place_variables(self.variables)
+        from vpt_tpu.parallel.fsdp import init_opt_state
+
+        self.opt_state = init_opt_state(self.optimizer, self.variables["params"], self.mesh)
         if self.anchor_params is None:
             self.anchor_params = self._snapshot_anchor()
 
@@ -194,8 +214,9 @@ class PPOTrainer:
         """Device-side deep copy of the current parameters for the frozen π₀.
 
         A copy (not an alias) is required: the jitted PPO step donates the
-        trainable parameter buffers, which would invalidate an aliased anchor."""
-        return jax.jit(lambda t: jax.tree.map(jnp.copy, t))(self.variables["params"])
+        trainable parameter buffers, which would invalidate an aliased anchor.
+        Eager jnp.copy preserves each leaf's committed (fsdp/tp) sharding."""
+        return jax.tree.map(jnp.copy, self.variables["params"])
 
     def load_weights(self, path: str):
         """Load foundation weights into BOTH the trainable policy and the
@@ -205,7 +226,7 @@ class PPOTrainer:
         self.variables, report = state_dict_to_variables(
             sd, variables=jax.tree.map(np.asarray, self.variables)
         )
-        self.variables = jax.device_put(self.variables, replicated(self.mesh))
+        self.variables = self._place_variables(self.variables)
         self.anchor_params = self._snapshot_anchor()
         return report
 
@@ -380,6 +401,10 @@ class PPOTrainer:
             params = optax.apply_updates(variables["params"], updates)
             return {"params": params, "stats": variables["stats"]}, opt_state, aux
 
+        if self._params_sharded:
+            # params/moments carry explicit fsdp/tp shardings on the arrays;
+            # jit propagates them through SPMD, donation keeps them in place
+            return jax.jit(ppo_step, donate_argnums=(0, 1))
         data_sh = batch_sharded(self.mesh)
         repl = replicated(self.mesh)
         return jax.jit(
@@ -420,6 +445,8 @@ class PPOTrainer:
                 {"aux_v_loss": v_loss, "aux_clone_kl": clone_kl},
             )
 
+        if self._params_sharded:
+            return jax.jit(aux_step, donate_argnums=(0, 1))
         data_sh = batch_sharded(self.mesh)
         repl = replicated(self.mesh)
         return jax.jit(
@@ -473,9 +500,12 @@ class PPOTrainer:
                 jnp.asarray(returns[..., None]),
             ),
         )
-        self.variables = jax.device_put(
-            {"params": self.variables["params"], "stats": stats}, replicated(self.mesh)
-        )
+        # re-place only the stats (always replicated); the params keep their
+        # committed placement — replicated OR fsdp/tp-sharded
+        self.variables = {
+            "params": self.variables["params"],
+            "stats": jax.device_put(stats, replicated(self.mesh)),
+        }
 
     def update(self, traj: Dict[str, np.ndarray]) -> Dict[str, float]:
         """PPO epochs over one collected trajectory batch; returns metrics."""
@@ -588,10 +618,13 @@ class PPOTrainer:
         payload, data_state = native_ckpt.restore_checkpoint(directory, template=template)
         if payload is None:
             return False
-        repl = replicated(self.mesh)
-        self.variables = jax.device_put(payload["variables"]["variables"], repl)
-        self.anchor_params = jax.device_put(payload["variables"]["anchor_params"], repl)
-        ref_state = jax.jit(self.optimizer.init)(self.variables["params"])
+        from vpt_tpu.parallel.fsdp import init_opt_state, place_variables
+
+        self.variables = self._place_variables(payload["variables"]["variables"])
+        self.anchor_params = place_variables(
+            {"params": payload["variables"]["anchor_params"]}, self.mesh
+        )["params"]
+        ref_state = init_opt_state(self.optimizer, self.variables["params"], self.mesh)
         self.opt_state = jax.tree.map(
             lambda ref, x: jax.device_put(x, ref.sharding), ref_state, payload["opt_state"]
         )
