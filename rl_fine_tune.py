@@ -28,7 +28,7 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
          updates=50, rollout_len=40, learning_rate=3e-5, kl_coef=0.2,
          compute_dtype="bfloat16", metrics_path=None, checkpoint_dir=None,
          checkpoint_every=0, resume=False, aux_phase_every=0, aux_epochs=4,
-         beta_clone=1.0):
+         beta_clone=1.0, fsdp=1, tp=1):
     hp = PPOHyperparams(
         rollout_len=rollout_len,
         learning_rate=learning_rate,
@@ -38,8 +38,13 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
         aux_epochs=aux_epochs,
         beta_clone=beta_clone,
     )
+    mesh = None
+    if fsdp > 1 or tp > 1:
+        from vpt_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_fsdp=fsdp, n_tp=tp)
     trainer = PPOTrainer.from_files(
-        in_model, in_weights, hp=hp, compute_dtype=compute_dtype
+        in_model, in_weights, hp=hp, compute_dtype=compute_dtype, mesh=mesh
     )
 
     if mock_env:
@@ -83,6 +88,9 @@ if __name__ == "__main__":
     parser.add_argument("--aux-phase-every", type=int, default=0, help="PPG: run the auxiliary (value + clone-KL) phase every N updates (0 = plain PPO).")
     parser.add_argument("--aux-epochs", type=int, default=4, help="PPG: epochs over the buffered rollouts per aux phase.")
     parser.add_argument("--beta-clone", type=float, default=1.0, help="PPG: weight of the KL that pins the policy during the aux phase.")
+    parser.add_argument("--fsdp", type=int, default=1,
+                        help="ZeRO-3 axis size: shard policy + anchor + Adam moments over this many chips.")
+    parser.add_argument("--tp", type=int, default=1, help="Tensor-parallel axis size.")
     args = parser.parse_args()
     main(
         args.in_model, args.in_weights, args.out_weights, mock_env=args.mock_env,
@@ -92,4 +100,5 @@ if __name__ == "__main__":
         checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
         resume=args.resume, aux_phase_every=args.aux_phase_every,
         aux_epochs=args.aux_epochs, beta_clone=args.beta_clone,
+        fsdp=args.fsdp, tp=args.tp,
     )

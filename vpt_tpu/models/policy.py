@@ -217,6 +217,32 @@ class MinecraftAgentPolicy(nn.Module):
             state_out,
         )
 
+    # -- pipeline-parallel split points (parallel/pp.py): __call__ ==
+    # -- heads_from_recurrent(recurrent_layer(embed(img))) exactly, letting a
+    # -- pp train step run the block stack as a GPipe pipeline while the CNN
+    # -- front and the head tail stay data-parallel.
+
+    def embed(self, img):
+        """Pre-recurrence trunk: preprocess → CNN → [pre_lstm_ln] latents."""
+        x = self.net.img_preprocess(img)
+        x = self.net.img_process(x)
+        if self.cfg.use_pre_lstm_ln:
+            x = self.net.pre_lstm_ln(x)
+        return x
+
+    def heads_from_recurrent(self, x):
+        """Post-recurrence tail: relu → lastlayer → final_ln → heads."""
+        x = nn.relu(x)
+        x = self.net.lastlayer(x)
+        x = self.net.final_ln(x)
+        pi_logits = self.pi_head(x)
+        vpred_raw = self.value_head(x)
+        return {
+            "pi_logits": pi_logits,
+            "vpred_raw": vpred_raw,
+            "vpred": self.value_head.denormalize(vpred_raw),
+        }
+
     # -- reference-API conveniences (reference: policy.py:271-339), callable
     # -- via model.apply(variables, ..., method="act") etc.
 

@@ -92,6 +92,18 @@ def pipelined_blocks(
     mb = batch // n_micro
     n_block = jax.tree.leaves(stacked_params)[0].shape[0]
     assert n_block % n_pp == 0, (n_block, n_pp)
+    # microbatch ROWS shard over the data axes when they divide: each
+    # (pp, dp) coordinate then runs an independent pipeline over its slice of
+    # the batch.  Non-dividing geometries replicate the rows instead (every
+    # dp rank redundantly computes the pipeline — correct, just not scaled).
+    data_axes = tuple(
+        a for a in ("dp", "fsdp") if a in mesh.axis_names and mesh.shape[a] > 1
+    )
+    n_data = 1
+    for a in data_axes:
+        n_data *= mesh.shape[a]
+    if mb % n_data != 0:
+        data_axes = ()
 
     x_m = x.reshape(n_micro, mb, *x.shape[1:])
     first_m = first.reshape(n_micro, mb, *first.shape[1:])
@@ -154,11 +166,12 @@ def pipelined_blocks(
         )
         return outputs, states
 
+    row = data_axes if data_axes else None  # empty tuple is not a valid spec entry
     sharded = _shard_map(
         stage_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(), P(), P(axis)),
-        out_specs=(P(), P(axis)),
+        in_specs=(P(axis), P(None, row), P(None, row), P(axis, None, row)),
+        out_specs=(P(None, row), P(axis, None, row)),
         check_vma=False,
     )
     y_m, new_state_m = sharded(stacked_params, x_m, first_m, state_m)

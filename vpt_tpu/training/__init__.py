@@ -1,4 +1,16 @@
 from vpt_tpu.training.bc import BCTrainer, BCHyperparams
 from vpt_tpu.training.rl import PPOTrainer, PPOHyperparams, compute_gae
 
-__all__ = ["BCTrainer", "BCHyperparams", "PPOTrainer", "PPOHyperparams", "compute_gae"]
+__all__ = [
+    "BCTrainer", "BCHyperparams", "PPOTrainer", "PPOHyperparams", "compute_gae",
+    "PPBCTrainer",
+]
+
+
+def __getattr__(name):
+    # lazy: pp_bc pulls in shard_map machinery most sessions never touch
+    if name == "PPBCTrainer":
+        from vpt_tpu.training.pp_bc import PPBCTrainer
+
+        return PPBCTrainer
+    raise AttributeError(name)
