@@ -280,3 +280,62 @@ def test_sequence_loader_resume_at_trajectory_boundary(tmp_path):
     for b_full, b_res in zip(full, resumed):
         for key in ("frames", "buttons", "camera", "mask", "episode_ids"):
             np.testing.assert_array_equal(b_res[key], b_full[key], err_msg=key)
+
+
+def test_read_batch_bit_exact_vs_per_frame(tmp_path):
+    """The one-call batched decode+composite+resize (vpt_video_read_batch)
+    must be bit-identical to the per-frame primitives, including the emit
+    mask (decode-only frames) and the no-cursor sentinel."""
+    from vpt_tpu.data.cursor import default_cursor
+    from vpt_tpu.data.video import VideoReader, native_composite_alpha, native_resize_u8
+
+    rng = np.random.default_rng(3)
+    n = 10
+    frames_in = [rng.integers(0, 256, (H, W, 3), dtype=np.uint8) for _ in range(n)]
+    video_path = str(tmp_path / "batch.mp4")
+    with VideoWriter(video_path, W, H, fps=20) as w:
+        for f in frames_in:
+            w.write(f)
+
+    crgb, calpha = default_cursor()
+    emit = np.ones(n, bool)
+    emit[3] = emit[7] = False
+    xy = np.full((n, 2), VideoReader.CURSOR_NONE, np.int32)
+    xy[1] = (40, 25)
+    xy[5] = (-4, 10)      # partially off-frame cursor
+    xy[8] = (W - 3, H - 3)
+
+    # reference: per-frame primitive calls
+    want = {}
+    reader = VideoReader(video_path)
+    for i in range(n):
+        frame = reader.read()
+        assert frame is not None
+        if not emit[i]:
+            continue
+        if xy[i, 0] != VideoReader.CURSOR_NONE:
+            native_composite_alpha(frame, crgb, calpha, int(xy[i, 0]), int(xy[i, 1]))
+        want[i] = native_resize_u8(frame, (128, 128))
+    reader.close()
+
+    reader = VideoReader(video_path)
+    got, out = reader.read_batch(n, (128, 128), emit=emit, cursor_xy=xy,
+                                 cursor=(crgb, calpha))
+    reader.close()
+    assert got == n
+    for i, expected in want.items():
+        np.testing.assert_array_equal(out[i], expected)
+
+
+def test_read_batch_short_read_at_eof(tmp_path):
+    from vpt_tpu.data.video import VideoReader
+
+    video_path = str(tmp_path / "short.mp4")
+    with VideoWriter(video_path, W, H, fps=20) as w:
+        for i in range(4):
+            w.write(np.full((H, W, 3), i * 30, np.uint8))
+    reader = VideoReader(video_path)
+    got, out = reader.read_batch(9, (64, 64))
+    reader.close()
+    assert got == 4
+    assert out.shape == (9, 64, 64, 3)

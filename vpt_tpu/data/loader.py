@@ -88,28 +88,37 @@ def trajectory_steps(
     apply_version_scalers: bool = False,
     quit_event=None,
     skip_steps: int = 0,
+    batch_frames: int = 64,
 ):
     """Generator of (frame_128 uint8 RGB, env_action) for one recording,
     with all reference fixups applied and null actions skipped.
+
+    Two phases per trajectory: the sequential action fixups run first (pure
+    host math over the jsonl), then the pixel path — decode, cursor
+    composite, bit-exact resize — runs in the native library in
+    ``batch_frames``-frame batches (one C call each; see
+    vpt_host.cpp:vpt_video_read_batch), eliminating per-frame Python/ctypes
+    overhead on the loader's hot path.
 
     ``skip_steps`` fast-forwards past the first N *non-null* steps without
     yielding them (mid-trajectory resume): the sequential fixup state
     (stuck-attack, hotbar) still advances and every frame is still decoded to
     keep video/jsonl in step, but cursor compositing and resize are skipped.
     """
-    from vpt_tpu.data.video import VideoReader, native_composite_alpha, native_resize_u8
+    from vpt_tpu.data.video import VideoReader
 
     cursor_rgb, cursor_alpha = cursor if cursor is not None else default_cursor()
     json_data = _load_jsonl(json_path)
 
     video = VideoReader(video_path)
-    emitted = 0
     try:
+        # ---- phase 1: sequential action fixups (no pixels) ----------------
         attack_is_stuck = False
         last_hotbar = 0
+        emitted = 0
+        scale = video.height / MINEREC_ORIGINAL_HEIGHT_PX
+        steps = []  # (env_action, emit, cursor_xy or None)
         for i, step_data in enumerate(json_data):
-            if quit_event is not None and quit_event.is_set():
-                break
             if i == 0:
                 # the recording may start with attack already held down, stuck
                 # until the player actually presses it (reference:
@@ -139,23 +148,41 @@ def trajectory_steps(
                 action[f"hotbar.{current_hotbar + 1}"] = 1
             last_hotbar = current_hotbar
 
-            # always consume the frame so video/jsonl stay in step
-            frame = video.read()
-            if frame is None:
-                print(f"Could not read frame from video {video_path}")
-                continue
-            if is_null_action:
-                continue
-            if emitted < skip_steps:
+            emit = False
+            if not is_null_action:
+                emit = emitted >= skip_steps
                 emitted += 1
-                continue
-            emitted += 1
-            if step_data.get("isGuiOpen", False):
-                scale = frame.shape[0] / MINEREC_ORIGINAL_HEIGHT_PX
-                cx = int(step_data["mouse"]["x"] * scale)
-                cy = int(step_data["mouse"]["y"] * scale)
-                native_composite_alpha(frame, cursor_rgb, cursor_alpha, cx, cy)
-            yield native_resize_u8(frame, resolution), action
+            xy = None
+            if emit and step_data.get("isGuiOpen", False):
+                xy = (int(step_data["mouse"]["x"] * scale),
+                      int(step_data["mouse"]["y"] * scale))
+            steps.append((action, emit, xy))
+
+        # ---- phase 2: batched native decode + composite + resize ----------
+        pos = 0
+        while pos < len(steps):
+            if quit_event is not None and quit_event.is_set():
+                break
+            chunk = steps[pos:pos + batch_frames]
+            k = len(chunk)
+            emit_mask = np.fromiter((s[1] for s in chunk), np.uint8, k)
+            xy = np.full((k, 2), VideoReader.CURSOR_NONE, np.int32)
+            for j, (_, _, cxy) in enumerate(chunk):
+                if cxy is not None:
+                    xy[j] = cxy
+            got, frames = video.read_batch(
+                k, resolution, emit=emit_mask, cursor_xy=xy,
+                cursor=(cursor_rgb, cursor_alpha),
+            )
+            for j in range(got):
+                if chunk[j][1]:
+                    yield frames[j], chunk[j][0]
+            if got < k:
+                # video shorter than the jsonl (same condition the per-frame
+                # path reported per step, reference data_loader.py:122-123)
+                print(f"Could not read frame from video {video_path}")
+                break
+            pos += got
     finally:
         video.close()
 

@@ -57,6 +57,16 @@ def _load_library():
     lib.vpt_video_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
     lib.vpt_video_close.restype = None
     lib.vpt_video_close.argtypes = [ctypes.c_void_p]
+    lib.vpt_video_read_batch.restype = ctypes.c_int
+    lib.vpt_video_read_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),   # emit mask (or NULL)
+        ctypes.POINTER(ctypes.c_int32),   # cursor xy pairs (or NULL)
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int,       # cursor h, w
+        ctypes.c_int, ctypes.c_int,       # dst h, w
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
 
     lib.vpt_video_writer_open.restype = ctypes.c_void_p
     lib.vpt_video_writer_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
@@ -122,6 +132,57 @@ class VideoReader:
             if frame is None:
                 return
             yield frame
+
+    CURSOR_NONE = np.int32(np.iinfo(np.int32).min)  # "no cursor" sentinel
+
+    def read_batch(
+        self,
+        n: int,
+        resolution: Tuple[int, int],
+        emit: Optional[np.ndarray] = None,
+        cursor_xy: Optional[np.ndarray] = None,
+        cursor: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    ) -> Tuple[int, np.ndarray]:
+        """Decode up to ``n`` frames with cursor compositing + bit-exact
+        resize done natively in ONE C call (the data-loader fast path —
+        amortizes the resize plan and kills per-frame ctypes/numpy overhead).
+
+        :param resolution: (width, height) agent resolution.
+        :param emit: optional (n,) bool — False frames are decoded (keeping
+            video/jsonl in step) but not composited/resized; their output
+            slots are undefined.
+        :param cursor_xy: optional (n, 2) int32 recorded mouse positions;
+            ``CURSOR_NONE`` x marks frames without a cursor (GUI closed).
+        :param cursor: (rgb (h,w,3), alpha (h,w)) sprite; required when any
+            cursor_xy row is active.
+        :returns: (frames_decoded, (n, H, W, 3) uint8 array) —
+            frames_decoded < n means EOF.
+        """
+        dst_w, dst_h = resolution
+        out = np.empty((n, dst_h, dst_w, 3), np.uint8)
+        emit_p = None
+        if emit is not None:
+            emit = np.ascontiguousarray(np.asarray(emit, np.uint8))
+            assert emit.shape == (n,)
+            emit_p = _u8ptr(emit)
+        xy_p = None
+        crgb_p = calpha_p = None
+        ch = cw = 0
+        if cursor_xy is not None:
+            cursor_xy = np.ascontiguousarray(np.asarray(cursor_xy, np.int32))
+            assert cursor_xy.shape == (n, 2)
+            xy_p = cursor_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            assert cursor is not None, "cursor sprite required with cursor_xy"
+            crgb = np.ascontiguousarray(cursor[0])
+            calpha = np.ascontiguousarray(cursor[1])
+            ch, cw = calpha.shape
+            crgb_p, calpha_p = _u8ptr(crgb), _u8ptr(calpha)
+        got = self._lib.vpt_video_read_batch(
+            self._h, n, emit_p, xy_p, crgb_p, calpha_p, ch, cw, dst_h, dst_w, _u8ptr(out)
+        )
+        if got < 0:
+            raise IOError("video decode error")
+        return got, out
 
     def close(self):
         if getattr(self, "_h", None):

@@ -51,6 +51,7 @@ struct VptVideoReader {
     int stream_index = -1;
     int out_w = 0, out_h = 0;
     bool eof_sent = false;
+    uint8_t* scratch = nullptr;  // native-res RGB frame for the batch path
 };
 
 extern "C" {
@@ -144,6 +145,7 @@ int vpt_video_read(void* handle, uint8_t* out_rgb) {
 void vpt_video_close(void* handle) {
     auto* r = static_cast<VptVideoReader*>(handle);
     if (!r) return;
+    if (r->scratch) delete[] r->scratch;
     if (r->sws) sws_freeContext(r->sws);
     if (r->pkt) av_packet_free(&r->pkt);
     if (r->frame) av_frame_free(&r->frame);
@@ -281,19 +283,33 @@ static void linear_coeffs(int src, int dst, int* sx, int* a0, int* a1) {
     }
 }
 
-void vpt_resize_u8(const uint8_t* src, int sh, int sw, int ch, uint8_t* dst, int dh, int dw) {
-    int* sx = new int[dw];
-    int* ax0 = new int[dw];
-    int* ax1 = new int[dw];
-    int* sy = new int[dh];
-    int* by0 = new int[dh];
-    int* by1 = new int[dh];
-    linear_coeffs(sw, dw, sx, ax0, ax1);
-    linear_coeffs(sh, dh, sy, by0, by1);
+// Precomputed coefficient plan: amortizes the per-axis coefficient tables and
+// the two horizontal-pass scratch rows over a whole batch of frames.
+struct ResizePlan {
+    int sh, sw, ch, dh, dw;
+    int *sx, *ax0, *ax1, *sy, *by0, *by1;
+    int *row0, *row1;
+};
 
-    // horizontal pass buffers for two source rows
-    int* row0 = new int[dw * ch];
-    int* row1 = new int[dw * ch];
+static ResizePlan* resize_plan_create(int sh, int sw, int ch, int dh, int dw) {
+    auto* p = new ResizePlan{sh, sw, ch, dh, dw,
+                             new int[dw], new int[dw], new int[dw],
+                             new int[dh], new int[dh], new int[dh],
+                             new int[dw * ch], new int[dw * ch]};
+    linear_coeffs(sw, dw, p->sx, p->ax0, p->ax1);
+    linear_coeffs(sh, dh, p->sy, p->by0, p->by1);
+    return p;
+}
+
+static void resize_plan_destroy(ResizePlan* p) {
+    delete[] p->sx; delete[] p->ax0; delete[] p->ax1;
+    delete[] p->sy; delete[] p->by0; delete[] p->by1;
+    delete[] p->row0; delete[] p->row1;
+    delete p;
+}
+
+static void resize_plan_run(ResizePlan* p, const uint8_t* src, uint8_t* dst) {
+    const int sh = p->sh, sw = p->sw, ch = p->ch, dh = p->dh, dw = p->dw;
     int prev0 = -1, prev1 = -1;
 
     auto clampi = [](int v, int hi) { return v < 0 ? 0 : (v > hi ? hi : v); };
@@ -301,28 +317,31 @@ void vpt_resize_u8(const uint8_t* src, int sh, int sw, int ch, uint8_t* dst, int
     auto hresize = [&](int syi, int* row) {
         const uint8_t* s = src + (size_t)syi * sw * ch;
         for (int x = 0; x < dw; ++x) {
-            const uint8_t* p0 = s + (size_t)clampi(sx[x], sw - 1) * ch;
-            const uint8_t* p1 = s + (size_t)clampi(sx[x] + 1, sw - 1) * ch;
+            const uint8_t* p0 = s + (size_t)clampi(p->sx[x], sw - 1) * ch;
+            const uint8_t* p1 = s + (size_t)clampi(p->sx[x] + 1, sw - 1) * ch;
             for (int c = 0; c < ch; ++c)
-                row[x * ch + c] = p0[c] * ax0[x] + p1[c] * ax1[x];
+                row[x * ch + c] = p0[c] * p->ax0[x] + p1[c] * p->ax1[x];
         }
     };
 
     for (int y = 0; y < dh; ++y) {
-        const int s0 = clampi(sy[y], sh - 1);
-        const int s1 = clampi(sy[y] + 1, sh - 1);
-        if (prev0 != s0) { hresize(s0, row0); prev0 = s0; }
-        if (prev1 != s1) { hresize(s1, row1); prev1 = s1; }
+        const int s0 = clampi(p->sy[y], sh - 1);
+        const int s1 = clampi(p->sy[y] + 1, sh - 1);
+        if (prev0 != s0) { hresize(s0, p->row0); prev0 = s0; }
+        if (prev1 != s1) { hresize(s1, p->row1); prev1 = s1; }
         uint8_t* d = dst + (size_t)y * dw * ch;
-        const int b0 = by0[y], b1 = by1[y];
+        const int b0 = p->by0[y], b1 = p->by1[y];
         for (int i = 0; i < dw * ch; ++i) {
-            int v = ((b0 * (row0[i] >> 4)) >> 16) + (((b1 * (row1[i] >> 4)) >> 16) + 2);
+            int v = ((b0 * (p->row0[i] >> 4)) >> 16) + (((b1 * (p->row1[i] >> 4)) >> 16) + 2);
             d[i] = (uint8_t)(v >> 2);
         }
     }
-    delete[] sx; delete[] ax0; delete[] ax1;
-    delete[] sy; delete[] by0; delete[] by1;
-    delete[] row0; delete[] row1;
+}
+
+void vpt_resize_u8(const uint8_t* src, int sh, int sw, int ch, uint8_t* dst, int dh, int dw) {
+    ResizePlan* p = resize_plan_create(sh, sw, ch, dh, dw);
+    resize_plan_run(p, src, dst);
+    resize_plan_destroy(p);
 }
 
 // ---------------------------------------------------------------------------
@@ -350,6 +369,50 @@ void vpt_composite_alpha(uint8_t* img, int ih, int iw,
             }
         }
     }
+}
+
+// ---------------------------------------------------------------------------
+// Batched decode + composite + resize — the data-loader fast path.
+//
+// One C call replaces n (decode, composite, resize) Python round-trips: the
+// resize coefficient plan and the native-resolution scratch frame are built
+// once per call, and skipped frames (null actions / resume fast-forward) are
+// decoded but never composited/resized.  (Reference equivalent: the per-frame
+// cv2 pipeline in data_loader.py:104-120.)
+// ---------------------------------------------------------------------------
+
+// Decode up to n frames.  Per frame i:
+//   * emit[i]==0 → decode only (keeps video/jsonl in step), out slot untouched;
+//   * cursor_xy[2i] != INT32_MIN → alpha-composite the (coh, cow) cursor
+//     sprite at that position first (recorded mouse position, GUI open);
+//   * resize natively to (dh, dw) into out[i*dh*dw*3].
+// emit/cursor_xy may be NULL (all emitted / no cursor).  Returns the number of
+// frames decoded (< n means EOF), or -1 on decode error.
+int vpt_video_read_batch(void* handle, int n,
+                         const uint8_t* emit,
+                         const int32_t* cursor_xy,
+                         const uint8_t* cursor_rgb, const uint8_t* cursor_alpha,
+                         int coh, int cow,
+                         int dh, int dw, uint8_t* out) {
+    auto* r = static_cast<VptVideoReader*>(handle);
+    if (!r) return -1;
+    const int w = r->codec->width, h = r->codec->height;
+    if (!r->scratch) r->scratch = new uint8_t[(size_t)w * h * 3];
+    ResizePlan* plan = resize_plan_create(h, w, 3, dh, dw);
+    int done = 0;
+    for (; done < n; ++done) {
+        int ret = vpt_video_read(handle, r->scratch);
+        if (ret == 0) break;            // EOF
+        if (ret < 0) { resize_plan_destroy(plan); return -1; }
+        if (emit && !emit[done]) continue;
+        if (cursor_xy && cursor_xy[2 * done] != INT32_MIN) {
+            vpt_composite_alpha(r->scratch, h, w, cursor_rgb, cursor_alpha,
+                                coh, cow, cursor_xy[2 * done], cursor_xy[2 * done + 1]);
+        }
+        resize_plan_run(plan, r->scratch, out + (size_t)done * dh * dw * 3);
+    }
+    resize_plan_destroy(plan);
+    return done;
 }
 
 }  // extern "C"
