@@ -200,16 +200,27 @@ def test_fake_quant_dense_params_targets_only_dense_kernels():
                            "bias": jnp.zeros(16)}},
         "conv": {"kernel": jnp.asarray(rng.normal(size=(3, 3, 4, 8)), jnp.float32)},
         "ln": {"scale": jnp.ones(8)},
+        # serving keeps the head denses float (models/heads.py) — so must QAT
+        "pi_head": {"buttons": {"linear_layer": {"kernel": jnp.asarray(rng.normal(size=(8, 23)), jnp.float32)}}},
+        "value_head": {"linear": {"kernel": jnp.asarray(rng.normal(size=(8, 1)), jnp.float32)}},
     }
     out = fake_quant_dense_params(params)
     np.testing.assert_array_equal(
         np.asarray(out["mlp0"]["layer"]["kernel"]),
         np.asarray(fake_quant_kernel(params["mlp0"]["layer"]["kernel"])),
     )
-    # conv kernels, biases, norms untouched
+    # conv kernels, biases, norms, and HEAD kernels untouched
     np.testing.assert_array_equal(np.asarray(out["conv"]["kernel"]),
                                   np.asarray(params["conv"]["kernel"]))
     np.testing.assert_array_equal(np.asarray(out["ln"]["scale"]), np.ones(8))
+    np.testing.assert_array_equal(
+        np.asarray(out["pi_head"]["buttons"]["linear_layer"]["kernel"]),
+        np.asarray(params["pi_head"]["buttons"]["linear_layer"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["value_head"]["linear"]["kernel"]),
+        np.asarray(params["value_head"]["linear"]["kernel"]),
+    )
 
 
 def test_qat_bc_train_step_runs_and_matches_serving_weights():
@@ -241,15 +252,22 @@ def test_qat_bc_train_step_runs_and_matches_serving_weights():
 
     t_qat = BCTrainer(kwargs, {"temperature": 2.0}, hp=hp, mesh=mesh, seed=0, qat_dense=True)
     t_qat.init()
+    mask = t_qat._qat_mask()
+    # the mask is exactly the serving set: trunk q_layer quantizes, the
+    # action/value head denses do NOT (serving keeps them float)
+    assert mask["net"]["recurrent_layer"]["blocks_0"]["r"]["orc_block"]["q_layer"]["kernel"]
+    assert not mask["pi_head"]["buttons"]["linear_layer"]["kernel"]
+    assert not mask["value_head"]["linear"]["kernel"]
     _, loss_qat, _ = t_qat.train_step(batch, t_qat.initial_state(4))
     assert np.isfinite(float(loss_qat))
 
-    # same seed → identical initial params; pre-quantize them and run the
-    # PLAIN trainer: its loss must equal what the QAT step reported
+    # same seed → identical initial params; pre-quantize them with the SAME
+    # serving mask and run the PLAIN trainer: its loss must equal what the
+    # QAT step reported
     t_ref = BCTrainer(kwargs, {"temperature": 2.0}, hp=hp, mesh=mesh, seed=0)
     t_ref.init()
     t_ref.variables = {
-        "params": fake_quant_dense_params(t_ref.variables["params"]),
+        "params": fake_quant_dense_params(t_ref.variables["params"], mask=mask),
         "stats": t_ref.variables["stats"],
     }
     _, loss_ref, _ = t_ref.train_step(batch, t_ref.initial_state(4))

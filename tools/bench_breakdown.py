@@ -55,9 +55,13 @@ def chain_time(make_body, carry0, consts, iters: int, warmup: int = 2):
 
 
 def conv_gflops(width: int, streams: int) -> dict:
-    """Hand-counted FLOPs per step (64 streams, t=1) for the Impala trunk."""
-    w = 16 * width  # base chan unit: chans = 8*width*(2,4,4) at impala_width=4*width
-    chans = [8 * width * c for c in (2, 4, 4)]
+    """Hand-counted FLOPs per step (64 streams, t=1) for the Impala trunk.
+
+    Channel layout: ImpalaCNN stack c = impala_width * impala_chans[i]
+    (config.py / models/impala.py) and main() builds impala_width=4*width
+    with the foundation impala_chans (16, 32, 32) — so (64w, 128w, 128w).
+    """
+    chans = [4 * width * c for c in (16, 32, 32)]
     hw = [128, 64, 32]  # input spatial dim of each stack
     total = 0.0
     cin = 3
@@ -115,11 +119,14 @@ def main():
     cnn_vars = jax.jit(cnn.init)(key, img_f)
 
     def cnn_body(c, vars_):
-        x, tick = c
-        y = cnn.apply(vars_, x + tick * 1e-30)
-        return x, jnp.sum(y).astype(jnp.float32)
+        # acc rides carry[0] — chain_time forces leaves[0], and the NEXT
+        # iteration's input depends on acc, so every CNN application is on
+        # the forced dependence chain (neither CSE'd nor dispatch-only timed)
+        acc, x = c
+        y = cnn.apply(vars_, x + acc * 1e-30)
+        return jnp.sum(y).astype(jnp.float32), x
 
-    dt = chain_time(cnn_body, (img_f, jnp.float32(0)), cnn_vars, args.iters)
+    dt = chain_time(cnn_body, (jnp.float32(0), img_f), cnn_vars, args.iters)
     results["cnn_ms"] = round(dt * 1e3, 3)
 
     # ---- Transformer stack at t=1 with the ring cache ----------------------

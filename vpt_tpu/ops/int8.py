@@ -115,15 +115,53 @@ def fake_quant_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return (w32 + jax.lax.stop_gradient(w_q - w32)).astype(w.dtype)
 
 
-def fake_quant_dense_params(params):
-    """Apply :func:`fake_quant_kernel` to every dense kernel in a params tree
-    (ndim-2 ``kernel`` leaves — the exact set ``quantize_dense`` serving
-    replaces with int8; convolution kernels stay float, mirroring serving
-    where int8 convs measured SLOWER than bf16 on TPU)."""
+def quantized_kernel_mask(float_params, quant_template_params):
+    """Boolean pytree over ``float_params``: True exactly at the ``kernel``
+    leaves the ``quantize_dense`` serving graph replaces with int8.
+
+    Derived STRUCTURALLY from the quantized model's variable template (a dict
+    level holding ``kernel_q8`` in the template corresponds to ``kernel`` in
+    the float tree), so QAT and serving can never disagree about the set —
+    e.g. the pi/value head denses stay float in serving (models/heads.py) and
+    therefore must stay float in QAT too.
+    """
+
+    def walk(tmpl, flt):
+        out = {}
+        for key, fval in flt.items():
+            if isinstance(fval, dict):
+                sub = tmpl.get(key) if isinstance(tmpl, dict) else None
+                out[key] = walk(sub if isinstance(sub, dict) else {}, fval)
+            else:
+                out[key] = (
+                    key == "kernel" and isinstance(tmpl, dict) and "kernel_q8" in tmpl
+                )
+        return out
+
+    return walk(quant_template_params, float_params)
+
+
+def fake_quant_dense_params(params, mask=None):
+    """Apply :func:`fake_quant_kernel` to the dense kernels int8 serving
+    quantizes.
+
+    With ``mask`` (from :func:`quantized_kernel_mask`) the set is exact by
+    construction.  Without it, a rule-based fallback: every ndim-2 ``kernel``
+    leaf EXCEPT under the action/value heads (``pi_head``/``value_head``),
+    which serving keeps float (models/heads.py uses plain nn.Dense).
+    Convolution kernels stay float either way, mirroring serving where int8
+    convs measured SLOWER than bf16 on TPU.
+    """
+    if mask is not None:
+        return jax.tree.map(
+            lambda m, p: fake_quant_kernel(p) if m else p, mask, params
+        )
 
     def one(keypath, leaf):
         path = tuple(k.key if hasattr(k, "key") else str(k) for k in keypath)
-        if path and path[-1] == "kernel" and leaf.ndim == 2:
+        if path and path[0] in ("pi_head", "value_head"):
+            return leaf
+        if path[-1] == "kernel" and leaf.ndim == 2:
             return fake_quant_kernel(leaf)
         return leaf
 

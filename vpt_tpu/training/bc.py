@@ -220,15 +220,36 @@ class BCTrainer:
 
     # ------------------------------------------------------------------- step
 
+    def _qat_mask(self):
+        """Exact set of kernels the int8 serving graph quantizes, derived
+        from the quantize_dense model's variable template (shapes only — no
+        real init)."""
+        from vpt_tpu.ops.int8 import quantized_kernel_mask
+
+        qpolicy = MinecraftAgentPolicy(
+            cfg=self.cfg.replace(quantize_dense=True),
+            head_specs=self.head_specs,
+            temperature=self.temperature,
+        )
+        img = jnp.zeros((1, 1) + tuple(self.cfg.img_shape), jnp.uint8)
+        state = policy_initial_state(self.cfg, 1)
+        template = jax.eval_shape(
+            qpolicy.init, jax.random.PRNGKey(0), img, jnp.zeros((1, 1), bool), state
+        )
+        float_template = jax.eval_shape(
+            self.policy.init, jax.random.PRNGKey(0), img, jnp.zeros((1, 1), bool), state
+        )
+        return quantized_kernel_mask(float_template["params"], template["params"])
+
     def _build_train_step(self):
         policy, specs, optimizer = self.policy, self.head_specs, self.optimizer
-        qat = self.qat_dense
+        qat_mask = self._qat_mask() if self.qat_dense else None
 
         def loss_fn(params, stats, batch, state):
-            if qat:
+            if qat_mask is not None:
                 from vpt_tpu.ops.int8 import fake_quant_dense_params
 
-                params = fake_quant_dense_params(params)
+                params = fake_quant_dense_params(params, mask=qat_mask)
             variables = {"params": params, "stats": stats}
             out, state_out = policy.apply(
                 variables, batch["frames"], batch["firsts"], state
