@@ -33,14 +33,9 @@ MEASURE_STEPS = 60
 def compiled_flops(jitted, *args):
     """Exact XLA FLOPs for one call of a jitted function (None if the
     platform can't report cost analysis)."""
-    try:
-        analysis = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(analysis, list):
-            analysis = analysis[0]
-        flops = float(analysis.get("flops", 0.0))
-        return flops or None
-    except Exception:
-        return None
+    from vpt_tpu.utils.profiling import compiled_flops as _impl
+
+    return _impl(jitted, *args)
 
 
 def measure_ceiling_tflops(iters: int = 256, n: int = 4096) -> float:
@@ -289,11 +284,17 @@ def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
     dt = time.perf_counter() - t0
 
     # honest transfer cost, reported alongside (a tunneled dev chip is H2D-
-    # bound; a real TPU host is not)
+    # bound; a real TPU host is not).  The force must be a D2H of a value
+    # that depends on EVERY uploaded leaf — block_until_ready does not wait
+    # on this platform, and reading back one tiny leaf would not wait for
+    # the dominant frames transfer.  A device-side reduction over all leaves
+    # pulls back one scalar whose value requires every upload to complete.
+    import jax.numpy as jnp
+
     t0 = time.perf_counter()
     moved = jax.tree.map(lambda x: jax.device_put(np.asarray(x), sh), dict(b))
-    jax.tree.map(lambda x: x.block_until_ready(), moved)
-    np.asarray(moved["buttons"])[0, 0]
+    dep = sum(x.astype(jnp.float32).sum() for x in jax.tree.leaves(moved))
+    float(dep)
     h2d_seconds = time.perf_counter() - t0
 
     flops = trainer.train_step_flops(placed[0], state)

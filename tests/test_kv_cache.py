@@ -140,3 +140,35 @@ def test_window_limits_context():
     out_a, _ = chunk.apply(params, jnp.array(probe), jnp.zeros((2, 8), bool), sa)
     out_b, _ = chunk.apply(params, jnp.array(probe), jnp.zeros((2, 8), bool), sb)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-6)
+
+
+def test_mid_chunk_resets_stepwise_equals_chunkwise(setup):
+    """Resets ANYWHERE inside the chunk must reproduce stepwise semantics —
+    the invariant the PPO update relies on when envs finish episodes
+    mid-rollout-window (collection applies firsts at t=1; the update
+    re-forwards the whole window in one chunk)."""
+    chunk, step, params, x, state0 = setup
+    rng = np.random.default_rng(5)
+    first = rng.random((2, 8)) < 0.3
+    first[0, 3] = True   # guaranteed mid-chunk reset
+    first[1, 0] = True
+    out_chunk, state_chunk = chunk.apply(params, jnp.array(x), jnp.array(first), state0)
+    out_steps, state_steps = run_steps(step, params, x, state0, first)
+    np.testing.assert_allclose(np.asarray(out_chunk), out_steps, rtol=2e-4, atol=2e-5)
+    for sc, ss in zip(state_chunk, state_steps):
+        np.testing.assert_array_equal(np.asarray(sc["state_mask"]), np.asarray(ss["state_mask"]))
+
+
+def test_mid_chunk_resets_with_warm_cache(setup):
+    """Same equivalence starting from a WARM cache (a prior chunk ran), so
+    past-column masking interacts with the in-chunk resets."""
+    chunk, step, params, x, state0 = setup
+    warm_first = np.zeros((2, 8), bool)
+    warm_first[:, 0] = True
+    _, warm_state = chunk.apply(params, jnp.array(x), jnp.array(warm_first), state0)
+    x2 = np.random.default_rng(9).normal(size=(2, 8, HID)).astype(np.float32)
+    first = np.zeros((2, 8), bool)
+    first[0, 5] = True   # reset deep inside the second window
+    out_chunk, _ = chunk.apply(params, jnp.array(x2), jnp.array(first), warm_state)
+    out_steps, _ = run_steps(step, params, x2, warm_state, first)
+    np.testing.assert_allclose(np.asarray(out_chunk), out_steps, rtol=2e-4, atol=2e-5)

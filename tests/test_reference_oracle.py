@@ -138,15 +138,16 @@ def test_policy_stepped_rollout_parity():
     # strict load: every exported leaf must land, nothing may be missing
     ref.load_state_dict(_torch_sd(variables), strict=True)
 
-    # 5 chunks of T=4 > attention_memory_size=8 → KV cache wraps; resets
-    # land mid-chunk in different streams
+    # 5 chunks of T=4 > attention_memory_size=8 → KV cache wraps; resets at
+    # chunk starts (where the reference's chunked forward honors them —
+    # get_mask reads only first_b11, reference masked_attention.py:74-84)
     rng = np.random.default_rng(0)
     CHUNKS = 5
     imgs = rng.integers(0, 256, (CHUNKS, B, T, 32, 32, 3), dtype=np.uint8)
     firsts = np.zeros((CHUNKS, B, T), bool)
     firsts[0, :, 0] = True
-    firsts[2, 0, 1] = True
-    firsts[3, 1, 3] = True
+    firsts[2, 0, 0] = True
+    firsts[3, 1, 0] = True
 
     step = jax.jit(model.apply)
     state = policy_initial_state(cfg, B)
@@ -169,6 +170,32 @@ def test_policy_stepped_rollout_parity():
             ours_v = np.asarray(out["vpred"], np.float64)
             theirs_v = ref.value_head.denormalize(ref_vraw).numpy().astype(np.float64).reshape(ours_v.shape)
             assert np.abs(ours_v - theirs_v).max() <= TOL, (c, np.abs(ours_v - theirs_v).max())
+
+    # Mid-chunk resets: the reference's CHUNKED forward silently ignores them
+    # (first_b11 only), but its per-frame stepping — the deployment path —
+    # honors every reset.  Our chunked forward implements the stepwise
+    # semantics for any reset pattern, so the oracle here is the reference
+    # stepped frame-by-frame over the same stream.
+    firsts2 = np.zeros((CHUNKS, B, T), bool)
+    firsts2[0, :, 0] = True
+    firsts2[2, 0, 1] = True
+    firsts2[3, 1, 3] = True
+    state = policy_initial_state(cfg, B)
+    ref_state = ref.initial_state(B)
+    with th.no_grad():
+        for c in range(CHUNKS):
+            out, state = step(variables, jnp.asarray(imgs[c]), jnp.asarray(firsts2[c]), state)
+            ours = np.asarray(out["pi_logits"]["buttons"], np.float64)
+            for t in range(T):
+                (ref_pd, _, _), ref_state = ref(
+                    {"img": th.from_numpy(imgs[c, :, t:t + 1])},
+                    th.from_numpy(firsts2[c, :, t:t + 1]),
+                    ref_state,
+                )
+                theirs = ref_pd["buttons"].numpy().astype(np.float64).reshape(ours[:, t].shape)
+                assert np.abs(ours[:, t] - theirs).max() <= TOL, (
+                    c, t, np.abs(ours[:, t] - theirs).max()
+                )
 
 
 def test_idm_window_parity():

@@ -83,3 +83,49 @@ def test_ring_rejects_chunks(setup):
     x = jnp.zeros((2, 4, HID))
     with pytest.raises(AssertionError):
         chunk.apply(params, x, jnp.zeros((2, 4), bool), ring0)
+
+
+def test_ring_to_linear_conversion_continues_chunkwise(setup):
+    """Step k times on the RING cache, convert the snapshot to the linear
+    layout, continue with a chunkwise forward — must equal the pure-linear
+    stepwise+chunkwise run.  (The PPO collect→update handoff: collection
+    rolls out stepwise on the ring; the update re-forwards the window in one
+    chunk from the converted snapshot.)"""
+    from vpt_tpu.models.transformer import ring_state_to_linear
+
+    step, params = setup
+    chunk_len = 5
+    chunk = ResidualRecurrentBlocks(
+        hidsize=HID, timesteps=chunk_len, n_block=NBLOCK,
+        recurrence_type="transformer", attention_heads=HEADS,
+        attention_memory_size=chunk_len + MAXLEN,
+        attention_mask_style="clipped_causal",
+    )
+    rng = np.random.default_rng(4)
+    for warm_steps in (3, MAXLEN, MAXLEN + 5):  # before/at/after ring wrap
+        xs = jnp.asarray(rng.normal(size=(2, warm_steps, HID)).astype(np.float32))
+        firsts = np.zeros((2, warm_steps), bool)
+        firsts[:, 0] = True
+        if warm_steps > 4:
+            firsts[0, 4] = True  # mid-run reset interacts with slot validity
+        firsts = jnp.asarray(firsts)
+
+        lin0 = [masked_attention_initial_state(2, MAXLEN, HID, jnp.float32) for _ in range(NBLOCK)]
+        ring0 = [ring_initial_state(2, MAXLEN, HID, jnp.float32) for _ in range(NBLOCK)]
+        _, lin_state = _run(step, params, xs, firsts, lin0)
+        _, ring_state = _run(step, params, xs, firsts, ring0)
+        converted = [ring_state_to_linear(s) for s in ring_state]
+
+        for conv, lin in zip(converted, lin_state):
+            np.testing.assert_array_equal(
+                np.asarray(conv["state_mask"]), np.asarray(lin["state_mask"]),
+                err_msg=f"warm_steps={warm_steps}",
+            )
+        x2 = jnp.asarray(rng.normal(size=(2, chunk_len, HID)).astype(np.float32))
+        f2 = jnp.zeros((2, chunk_len), bool)
+        out_from_ring, _ = chunk.apply(params, x2, f2, converted)
+        out_from_lin, _ = chunk.apply(params, x2, f2, lin_state)
+        np.testing.assert_allclose(
+            np.asarray(out_from_ring), np.asarray(out_from_lin),
+            rtol=2e-4, atol=2e-5, err_msg=f"warm_steps={warm_steps}",
+        )

@@ -350,3 +350,21 @@ def test_ppg_aux_phase_trains_value_without_moving_policy():
     assert aux["aux_clone_kl"] < 0.05, aux
     p_post = _attack_prob(trainer, probe)
     assert abs(p_post - p_pre) < 0.02, (p_pre, p_post)
+
+
+def test_update_recompute_matches_collection_with_mid_window_resets():
+    """With episodes ending MID rollout-window, the update's chunkwise
+    re-forward must reproduce collection's stepwise log-probs exactly
+    (per-timestep firsts flow through clipped_causal_mask): at lr=0 the
+    first PPO epoch sees ratio == 1 everywhere."""
+    hp = PPOHyperparams(rollout_len=6, n_minibatches=1, n_epochs=1,
+                        learning_rate=0.0, normalize_advantages=False)
+    trainer = PPOTrainer(TINY_KWARGS, {"temperature": 2.0}, hp=hp,
+                         mesh=make_mesh(n_dp=1, devices=jax.devices()[:1]), seed=0)
+    trainer.init()
+    envs = _envs(4, done_prob=0.4)
+    traj, _, _ = trainer.collect(envs, reward_fn=lambda a, o, r, d: 1.0)
+    assert traj["firsts"][:, 1:].any(), "fixture must contain mid-window resets"
+    metrics = trainer.update(traj)
+    assert metrics["approx_kl"] < 1e-6, metrics["approx_kl"]
+    assert metrics["clip_frac"] == 0.0, metrics["clip_frac"]

@@ -177,7 +177,11 @@ def main():
         x, k = c
         k, sub = jax.random.split(k)
         act, v = tail.apply(vars_, x, sub)
-        return x + v.astype(x.dtype).sum() * 1e-30, k
+        # fold BOTH outputs into the forced carry: dropping `act` would let
+        # XLA dead-code-eliminate the DictActionHead — the tail's largest
+        # matmul (hidsize x 8641) — and time only the value head
+        act_dep = sum(a.astype(jnp.float32).sum() for a in jax.tree.leaves(act))
+        return x + (v.astype(jnp.float32).sum() + act_dep).astype(x.dtype) * 1e-30, k
 
     dt = chain_time(tail_body, (lat.astype(jnp.float32), key), tail_vars, args.iters)
     results["tail_ms"] = round(dt * 1e3, 3)

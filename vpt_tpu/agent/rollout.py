@@ -199,9 +199,15 @@ class GroupedRolloutRunner:
         t0 = time.perf_counter()
         total = 0
         for g in self.groups:
-            g["handle"], g["state"] = agent.dispatch_action_with_state(
-                g["obs"], g["state"], first=g["firsts"]
-            )
+            # a handle may be pending from a previous run(): its dispatched
+            # observation is still the group's current obs (envs only advance
+            # on collect), so it must be COLLECTED, never re-dispatched — a
+            # re-dispatch would feed the same frame into the recurrent state
+            # twice and drop one sampled action
+            if g["handle"] is None:
+                g["handle"], g["state"] = agent.dispatch_action_with_state(
+                    g["obs"], g["state"], first=g["firsts"]
+                )
         for _ in range(n_steps):
             for g in self.groups:
                 self._advance(g, agent.collect_action(g["handle"]))
@@ -209,7 +215,5 @@ class GroupedRolloutRunner:
                 g["handle"], g["state"] = agent.dispatch_action_with_state(
                     g["obs"], g["state"], first=g["firsts"]
                 )
-        for g in self.groups:
-            agent.collect_action(g["handle"])
         dt = time.perf_counter() - t0
         return {"frames": total, "seconds": dt, "frames_per_sec": total / dt}

@@ -370,7 +370,11 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
                         np.stack(frames),
                         np.asarray(buttons, np.int32),
                         np.asarray(cameras, np.int32),
-                        chunk_index == 0,
+                        # first_of_chunk: episode start, OR the first chunk a
+                        # RESUMED stream emits — the consumer restarts from a
+                        # fresh recurrent state either way, so the loader's
+                        # firsts contract must request the attention reset
+                        chunk_index == skip_chunks,
                         chunk_len,
                         chunk_index,
                     )
@@ -394,7 +398,7 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
                     np.stack(frames),
                     np.asarray(buttons, np.int32),
                     np.asarray(cameras, np.int32),
-                    chunk_index == 0,
+                    chunk_index == skip_chunks,
                     n,
                     chunk_index,
                 ),
@@ -456,9 +460,15 @@ class SequenceDataLoader:
         streams = None
         if resume_state and resume_state.get("streams"):
             streams = resume_state["streams"]
-            assert len(streams) == batch_size, (
-                f"resume_state has {len(streams)} streams but batch_size={batch_size}"
-            )
+            if len(streams) != batch_size:
+                # checkpoint written under a different stream geometry: the
+                # per-stream cursor is meaningless, fall back to the coarse
+                # whole-trajectory cursor instead of refusing to resume
+                print(
+                    f"[vpt_tpu] resume: stream cursor has {len(streams)} streams "
+                    f"but batch_size={batch_size}; using the coarse trajectory cursor"
+                )
+                streams = None
         self.task_queues = [Queue() for _ in range(batch_size)]
         n_total = len(self.demonstration_tuples)
         for i in range(batch_size):
@@ -474,7 +484,6 @@ class SequenceDataLoader:
                 self.task_queues[i].put(
                     (pos, *self.demonstration_tuples[pos], skip_chunks if pos == first_pos else 0)
                 )
-                self.n_trajectories_dispatched = max(self.n_trajectories_dispatched, pos + 1)
         for q in self.task_queues:
             q.put(None)
 

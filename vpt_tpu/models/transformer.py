@@ -241,8 +241,12 @@ class MaskedAttention(nn.Module):
         mask = None
         new_state_mask = state["state_mask"]
         if self.mask_style == "clipped_causal":
+            # full (B, t) firsts: resets anywhere inside the chunk reproduce
+            # stepwise t=1 semantics (the reference only consults the chunk's
+            # first step, masked_attention.py:74-84 — it trains at t=1 and
+            # never needs more; our chunkwise PPO update does)
             mask, new_state_mask = clipped_causal_mask(
-                first_bt[:, 0].astype(bool), state["state_mask"], t, t + self.maxlen, self.maxlen
+                first_bt.astype(bool), state["state_mask"], t, t + self.maxlen, self.maxlen
             )
         out, (new_k, new_v) = self.orc_block(x_bte, (state["k"], state["v"]), mask)
         return out, {"state_mask": new_state_mask, "k": new_k, "v": new_v}
@@ -270,6 +274,25 @@ def ring_initial_state(batchsize: int, maxlen: int, input_size: int, dtype) -> D
     state = masked_attention_initial_state(batchsize, maxlen, input_size, dtype)
     state["idx"] = jnp.zeros((), jnp.int32)
     return state
+
+
+def ring_state_to_linear(block_state: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Convert one block's ring decode state to the linear chunk layout.
+
+    Linear slot p holds the entry of age maxlen-1-p (oldest first, newest
+    last); ring slot s holds age (idx-1-s) mod maxlen — so linear[p] =
+    ring[(idx+p) mod maxlen], i.e. a roll by -idx.  Lets a stepwise ring
+    rollout hand its window-start snapshot to a chunkwise (B, T) re-forward
+    (the PPO update) with identical attention semantics — proven equivalent
+    in tests/test_ring_cache.py.
+    """
+    idx = block_state["idx"]
+    roll = lambda a: jnp.roll(a, -idx, axis=1)  # noqa: E731
+    return {
+        "state_mask": roll(block_state["state_mask"]),
+        "k": roll(block_state["k"]),
+        "v": roll(block_state["v"]),
+    }
 
 
 class ResidualRecurrentBlock(nn.Module):

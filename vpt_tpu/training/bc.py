@@ -318,21 +318,16 @@ class BCTrainer:
     def train_step_flops(self, batch: Dict[str, np.ndarray], state):
         """Exact XLA FLOPs of one compiled train step (None when the platform
         can't report cost analysis).  Roofline denominator for bench.py."""
+        from vpt_tpu.utils.profiling import compiled_flops
+
         self.init()
         try:
             batch = jax.tree.map(
                 lambda x: jax.device_put(np.asarray(x), batch_sharded(self.mesh)), dict(batch)
             )
-            analysis = (
-                self._train_step.lower(self.variables, self.opt_state, batch, state)
-                .compile()
-                .cost_analysis()
-            )
-            if isinstance(analysis, list):
-                analysis = analysis[0]
-            return float(analysis.get("flops", 0.0)) or None
         except Exception:
             return None
+        return compiled_flops(self._train_step, self.variables, self.opt_state, batch, state)
 
     def initial_state(self, batch_size: int):
         state = policy_initial_state(self.cfg, batch_size)

@@ -252,7 +252,11 @@ class PPOTrainer:
             logp = dict_logprob(logits, action, specs)
             return action, logp, out["vpred"][:, 0, 0], state_out, key
 
-        return jax.jit(act)
+        # donate the recurrent state: the per-step concat+slice cache update
+        # then writes in place instead of re-materializing 2×(B, maxlen, E)
+        # per block per collection step (callers that need the pre-step state
+        # afterwards — the window snapshot, the bootstrap call — pass a copy)
+        return jax.jit(act, donate_argnums=(3,))
 
     def _resize(self, obs_list) -> np.ndarray:
         from vpt_tpu.data.video import native_resize_u8
@@ -278,13 +282,27 @@ class PPOTrainer:
             firsts = np.ones(b, bool)
             self.hidden_state = None
         if self.hidden_state is None:
-            self.hidden_state = jax.device_put(
-                policy_initial_state(self.cfg, b), batch_sharded(self.mesh)
+            # collection steps at t=1: use the ring decode cache (one slot
+            # write per step) instead of the linear concat+slice layout that
+            # re-materializes 2·(B, maxlen, E) per block per step
+            ring = self.cfg.recurrence_type == "transformer"
+            state = policy_initial_state(self.cfg, b, ring=ring)
+            sh, repl = batch_sharded(self.mesh), replicated(self.mesh)
+            self.hidden_state = jax.tree.map(
+                lambda x: jax.device_put(x, repl if x.ndim == 0 else sh), state
             )
         if firsts is None:
             firsts = np.zeros(b, bool)
 
-        initial_state = self.hidden_state
+        # window-start snapshot for the update's chunkwise re-forward: ring
+        # layout converts to linear (fresh buffers, so the donated act step
+        # can't invalidate it); non-ring states deep-copy for the same reason
+        if isinstance(self.hidden_state[0], dict) and "idx" in self.hidden_state[0]:
+            from vpt_tpu.models.transformer import ring_state_to_linear
+
+            initial_state = [ring_state_to_linear(s) for s in self.hidden_state]
+        else:
+            initial_state = jax.tree.map(jnp.copy, self.hidden_state)
         buf = {
             "frames": np.zeros((b, t_len) + tuple(self.cfg.img_shape), np.uint8),
             "buttons": np.zeros((b, t_len), np.int32),
@@ -325,11 +343,13 @@ class PPOTrainer:
             firsts = next_firsts
 
         # bootstrap value of the next (uncollected) observation; the hidden
-        # state must NOT advance past the window, so discard act's state_out
+        # state must NOT advance past the window, so feed act a COPY (act
+        # donates its state argument) and discard the state_out
         img_d = jax.device_put(self._resize(obs), data_sh)
         first_d = jax.device_put(firsts, data_sh)
         _, _, last_value, _, self._rng = self._act(
-            self.variables, img_d, first_d, self.hidden_state, self._rng
+            self.variables, img_d, first_d,
+            jax.tree.map(jnp.copy, self.hidden_state), self._rng
         )
         buf["last_value"] = np.asarray(last_value)
         buf["last_first"] = firsts.copy()

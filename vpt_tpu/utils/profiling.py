@@ -42,3 +42,21 @@ def activation_stats(tree, prefix: str = "") -> Dict[str, jnp.ndarray]:
         out[f"activation_mean/{path}"] = leaf.mean()
         out[f"activation_std/{path}"] = leaf.std()
     return out
+
+
+def compiled_flops(jitted, *args):
+    """Exact XLA FLOPs for one call of a jitted function (None if the
+    platform can't report cost analysis).
+
+    Known quirk shared by every caller: XLA counts a scanned (While) body
+    ONCE, so FLOPs are underreported for scan-chunked graphs (e.g.
+    cnn_scan_chunks configs) — treat the result as a lower bound there.
+    """
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0))
+        return flops or None
+    except Exception:
+        return None
