@@ -119,3 +119,44 @@ def test_optimizer_matches_torch_adam_l2():
         params = optax.apply_updates(params, updates)
 
     np.testing.assert_allclose(np.asarray(params), wt.detach().numpy(), rtol=1e-5, atol=1e-7)
+
+
+def test_evaluate_held_out_nll(tmp_path):
+    """BCTrainer.evaluate: mask-weighted NLL per frame over a dataset dir —
+    finite, counts every non-null frame exactly once, deterministic."""
+    import json
+
+    from vpt_tpu.data.video import VideoWriter
+    from vpt_tpu.training.bc import BCHyperparams, BCTrainer
+
+    n = 24
+    with VideoWriter(str(tmp_path / "t.mp4"), 64, 64, fps=20) as w:
+        for i in range(n):
+            w.write(np.full((64, 64, 3), (i * 9) % 255, np.uint8))
+    with open(tmp_path / "t.jsonl", "w") as f:
+        for i in range(n):
+            f.write(json.dumps({
+                "mouse": {"x": 0.0, "y": 0.0, "dx": 1.0, "dy": 0.0,
+                          "buttons": [], "newButtons": []},
+                "keyboard": {"keys": ["key.keyboard.w"]},
+                "hotbar": 0, "isGuiOpen": False,
+            }) + "\n")
+
+    kwargs = dict(
+        hidsize=64, impala_width=1, impala_chans=[4, 8], img_shape=[32, 32, 3],
+        init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+        impala_kwargs={"post_pool_groups": 1}, n_recurrence_layers=2, timesteps=8,
+        attention_heads=4, attention_memory_size=16, recurrence_type="transformer",
+        attention_mask_style="clipped_causal", use_pre_lstm_ln=False,
+        obs_processing_width=32,
+    )
+    hp = BCHyperparams(batch_size=1, chunk_len=8)
+    trainer = BCTrainer(kwargs, {"temperature": 2.0}, hp=hp,
+                        mesh=make_mesh(n_dp=1, devices=jax.devices()[:1]), seed=0)
+    trainer.init()
+    report = trainer.evaluate(str(tmp_path))
+    assert np.isfinite(report["nll_per_frame"]) and report["nll_per_frame"] > 0
+    assert report["frames"] == n       # every step non-null (forward held)
+    assert report["batches"] == n // 8
+    report2 = trainer.evaluate(str(tmp_path))
+    assert report2["nll_per_frame"] == report["nll_per_frame"]

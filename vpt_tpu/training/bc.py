@@ -333,6 +333,77 @@ class BCTrainer:
         state = policy_initial_state(self.cfg, batch_size)
         return jax.device_put(state, batch_sharded(self.mesh))
 
+    # ------------------------------------------------------------- evaluation
+
+    def _build_eval_step(self):
+        policy, specs = self.policy, self.head_specs
+
+        def eval_step(variables, batch, state):
+            out, state_out = policy.apply(
+                variables, batch["frames"], batch["firsts"], state
+            )
+            actions = {
+                "buttons": batch["buttons"][..., None],
+                "camera": batch["camera"][..., None],
+            }
+            logp = dict_logprob(out["pi_logits"], actions, specs)
+            mask = batch["mask"].astype(jnp.float32)
+            return -(logp * mask).sum(), mask.sum(), state_out
+
+        return jax.jit(eval_step)
+
+    def evaluate(self, data_dir: str, max_batches: Optional[int] = None) -> Dict[str, float]:
+        """Held-out BC objective over a dataset directory: mask-weighted
+        negative log-likelihood per frame (no gradient, no parameter update).
+
+        The per-frame NLL is the comparable number for loss-curve parity
+        across batch geometries (the train-step loss normalizes by B·T
+        including padding, matching the reference's accumulation at T=1 —
+        behavioural_cloning.py:117)."""
+        from vpt_tpu.data.loader import SequenceDataLoader
+
+        self.init()
+        eval_step = self._build_eval_step()
+        loader = SequenceDataLoader(
+            data_dir, batch_size=self.hp.batch_size, chunk_len=self.hp.chunk_len,
+            n_epochs=1, seed=self._seed,
+            resolution=(self.cfg.img_shape[1], self.cfg.img_shape[0]),
+        )
+        state = self.initial_state(self.hp.batch_size)
+        last_episode = np.full(self.hp.batch_size, -1, np.int64)
+        nll_sum, frames = 0.0, 0.0
+        n_batches = 0
+        try:
+            for batch in loader:
+                new_episode = batch["episode_ids"] != last_episode
+                batch["firsts"] = batch["firsts"] | new_episode[:, None] & (
+                    np.arange(self.hp.chunk_len)[None] == 0
+                )
+                last_episode = batch["episode_ids"]
+                placed = {
+                    "frames": batch["frames"],
+                    "buttons": batch["buttons"].astype(np.int32),
+                    "camera": batch["camera"].astype(np.int32),
+                    "firsts": batch["firsts"].astype(bool),
+                    "mask": batch["mask"].astype(bool),
+                }
+                placed = jax.tree.map(
+                    lambda x: jax.device_put(x, seq_sharded(self.mesh)), placed
+                )
+                nll, n, state = eval_step(self.variables, placed, state)
+                nll_sum += float(nll)
+                frames += float(n)
+                n_batches += 1
+                if max_batches and n_batches >= max_batches:
+                    break
+        finally:
+            loader.close()
+        return {
+            "nll_per_frame": nll_sum / max(frames, 1.0),
+            "frames": int(frames),
+            "batches": n_batches,
+        }
+
     # -------------------------------------------------------------------- run
 
     def train(
@@ -385,6 +456,7 @@ class BCTrainer:
             seed=self._seed,
             start_trajectory=start_traj,
             resume_state=resume_state,
+            resolution=(self.cfg.img_shape[1], self.cfg.img_shape[0]),
         )
 
         # Preemption safety: SIGTERM/SIGINT triggers a final checkpoint before
