@@ -24,7 +24,7 @@ REQUIRED_RESOLUTION = (640, 360)
 
 
 def streaming_main(agent, video_path, json_data, n_frames, stride, window_batch,
-                   out=None, max_frames=None, strict_resolution=True):
+                   out=None, max_frames=None, strict_resolution=True, metrics=False):
     """Overlap-stitched labeling over an arbitrarily long video: windows slide
     by ``stride`` < ``n_frames`` and each frame's label comes from the window
     where it is most central (StreamingIDMLabeler)."""
@@ -32,10 +32,12 @@ def streaming_main(agent, video_path, json_data, n_frames, stride, window_batch,
 
     from vpt_tpu.agent import StreamingIDMLabeler
     from vpt_tpu.data.video import VideoReader
+    from vpt_tpu.utils.metrics import AgreementMeter
 
     labeler = StreamingIDMLabeler(agent, window=n_frames, stride=stride,
                                   window_batch=window_batch)
     out_f = open(out, "w") if out else None
+    meter = AgreementMeter() if (metrics and json_data is not None) else None
     total, t0 = 0, time.time()
 
     def emit(labels):
@@ -45,6 +47,9 @@ def streaming_main(agent, video_path, json_data, n_frames, stride, window_batch,
             row = {name: np.asarray(v).tolist() for name, v in action.items()}
             if out_f:
                 out_f.write(json.dumps({"frame": idx, "action": row}) + "\n")
+            if meter is not None and idx < len(json_data):
+                rec, _ = json_action_to_env_action(json_data[idx])
+                meter.add(row, rec)
             if idx < 3:
                 rec = {}
                 if json_data is not None and idx < len(json_data):
@@ -71,12 +76,15 @@ def streaming_main(agent, video_path, json_data, n_frames, stride, window_batch,
     if total:
         print(f"Labeled {total} frames in {dt:.2f}s → {total / dt:.1f} frames/sec "
               f"(window {n_frames}, stride {stride}, {window_batch}-window batches)")
+    if meter is not None:
+        print("metrics:", json.dumps(meter.summary()))
     if out_f:
         out_f.close()
 
 
 def main(model, weights, video_path, json_path, n_batches, n_frames, out=None,
-         out_video=None, strict_resolution=True, stride=None, window_batch=1):
+         out_video=None, strict_resolution=True, stride=None, window_batch=1,
+         metrics=False):
     agent_parameters_pair = load_model_parameters(model)
     net_kwargs, pi_head_kwargs = agent_parameters_pair
     agent = IDMAgent(idm_net_kwargs=net_kwargs, pi_head_kwargs=pi_head_kwargs)
@@ -87,13 +95,16 @@ def main(model, weights, video_path, json_path, n_batches, n_frames, out=None,
         max_frames = n_batches * n_frames if n_batches else None
         streaming_main(agent, video_path, json_data, n_frames, stride,
                        window_batch, out=out, max_frames=max_frames,
-                       strict_resolution=strict_resolution)
+                       strict_resolution=strict_resolution, metrics=metrics)
         return
 
     json_data = _load_jsonl(json_path) if json_path else None
     json_index = 0
     out_f = open(out, "w") if out else None
     writer = None
+    from vpt_tpu.utils.metrics import AgreementMeter
+
+    meter = AgreementMeter() if (metrics and json_data is not None) else None
 
     import time
 
@@ -130,6 +141,8 @@ def main(model, weights, video_path, json_path, n_batches, n_frames, out=None,
                 }
                 if out_f:
                     out_f.write(json.dumps({"frame": total_frames - len(frames) + i, "action": row}) + "\n")
+                if meter is not None and i < len(recorded_actions):
+                    meter.add(row, recorded_actions[i])
                 if out_video:
                     from vpt_tpu.data.annotate import action_rows, annotate_frame
                     from vpt_tpu.data.video import VideoWriter
@@ -150,6 +163,8 @@ def main(model, weights, video_path, json_path, n_batches, n_frames, out=None,
         dt = time.time() - t0
         if total_frames:
             print(f"Labeled {total_frames} frames in {dt:.2f}s → {total_frames / dt:.1f} frames/sec")
+    if meter is not None:
+        print("metrics:", json.dumps(meter.summary()))
     if out_f:
         out_f.close()
     if writer is not None:
@@ -170,6 +185,9 @@ if __name__ == "__main__":
     parser.add_argument("--no-strict-resolution", action="store_true", help="Accept videos that are not 640x360.")
     parser.add_argument("--stride", type=int, default=None, help="Slide windows by this many frames (< --n-frames enables overlap-stitched streaming labeling; boundary frames get bidirectional context).")
     parser.add_argument("--window-batch", type=int, default=1, help="Streaming mode: windows labeled per forward (batch axis).")
+    parser.add_argument("--metrics", action="store_true",
+                        help="With --jsonl-path: print predicted-vs-recorded agreement "
+                             "(per-button accuracy, exact-match rate, camera MAE in degrees).")
 
     args = parser.parse_args()
 
@@ -177,5 +195,5 @@ if __name__ == "__main__":
         args.model, args.weights, args.video_path, args.jsonl_path,
         args.n_batches, args.n_frames, out=args.out, out_video=args.out_video,
         strict_resolution=not args.no_strict_resolution,
-        stride=args.stride, window_batch=args.window_batch,
+        stride=args.stride, window_batch=args.window_batch, metrics=args.metrics,
     )

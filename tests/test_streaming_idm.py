@@ -154,3 +154,27 @@ def test_predict_actions_batched_shards_over_mesh(agent):
     # params ended up replicated, inputs sharded — the variables survived
     leaf = jax.tree_util.tree_leaves(sharded.variables)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_agreement_meter_math():
+    """AgreementMeter: per-button accuracy, exact match, camera MAE."""
+    from vpt_tpu.utils.metrics import AgreementMeter
+
+    m = AgreementMeter()
+    # frame 1: all buttons agree, camera off by (1, 3) degrees
+    m.add({"attack": 1, "forward": 0, "camera": [1.0, -2.0]},
+          {"attack": 1, "forward": 0, "camera": [0.0, 1.0]})
+    # frame 2: one of two buttons agrees, camera exact
+    m.add({"attack": [0], "forward": np.asarray([1]), "camera": [0.0, 0.0]},
+          {"attack": 1, "forward": 1, "camera": [0.0, 0.0]})
+    s = m.summary()
+    assert s["frames"] == 2
+    assert s["button_exact_match"] == 0.5
+    assert s["button_accuracy_mean"] == 0.75
+    assert s["per_button_accuracy"] == {"attack": 0.5, "forward": 1.0}
+    assert s["camera_mae_degrees"] == (1.0 + 3.0 + 0.0 + 0.0) / 4
+    # missing recorded keys count as unpressed
+    m2 = AgreementMeter()
+    m2.add({"attack": 0, "camera": [0.0, 0.0]}, {"camera": [0.0, 0.0]})
+    assert m2.summary()["button_exact_match"] == 1.0
+    assert AgreementMeter().summary() == {"frames": 0}
