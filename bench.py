@@ -291,10 +291,13 @@ def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
     # pulls back one scalar whose value requires every upload to complete.
     import jax.numpy as jnp
 
+    def _upload_and_force(batch):
+        moved = jax.tree.map(lambda x: jax.device_put(np.asarray(x), sh), batch)
+        float(sum(x.astype(jnp.float32).sum() for x in jax.tree.leaves(moved)))
+
+    _upload_and_force(dict(b))  # untimed: compiles the cast/sum reductions
     t0 = time.perf_counter()
-    moved = jax.tree.map(lambda x: jax.device_put(np.asarray(x), sh), dict(b))
-    dep = sum(x.astype(jnp.float32).sum() for x in jax.tree.leaves(moved))
-    float(dep)
+    _upload_and_force(dict(b))
     h2d_seconds = time.perf_counter() - t0
 
     flops = trainer.train_step_flops(placed[0], state)

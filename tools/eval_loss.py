@@ -12,6 +12,9 @@ Usage:
         [--batch-size 8] [--chunk-len 128] [--max-batches N]
 
 Prints one JSON line: {"nll_per_frame": ..., "frames": ..., "batches": ...}.
+
+Compare runs at the SAME --batch-size (the loader's trajectory partition and
+epoch end depend on it); --batch-size 1 scores every trajectory end to end.
 """
 
 from __future__ import annotations

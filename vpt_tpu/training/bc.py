@@ -117,6 +117,18 @@ class DevicePrefetcher:
         return item
 
 
+def inject_episode_firsts(batch: Dict[str, np.ndarray], last_episode: np.ndarray, chunk_len: int) -> np.ndarray:
+    """Mark a chunk's first step as an episode start when its stream moved to
+    a new trajectory (the loader's per-chunk flag covers within-trajectory
+    resets; the cross-trajectory transition is only visible to the consumer).
+    Mutates ``batch['firsts']``; returns the new per-stream episode ids."""
+    new_episode = batch["episode_ids"] != last_episode
+    batch["firsts"] = batch["firsts"] | new_episode[:, None] & (
+        np.arange(chunk_len)[None] == 0
+    )
+    return batch["episode_ids"]
+
+
 def make_optimizer(hp: BCHyperparams) -> optax.GradientTransformation:
     """clip → +wd·θ → Adam → −lr·update == torch clip_grad_norm_ +
     Adam(lr, weight_decay) (reference: behavioural_cloning.py:63-67, 121-123)."""
@@ -356,14 +368,18 @@ class BCTrainer:
         """Held-out BC objective over a dataset directory: mask-weighted
         negative log-likelihood per frame (no gradient, no parameter update).
 
-        The per-frame NLL is the comparable number for loss-curve parity
-        across batch geometries (the train-step loss normalizes by B·T
-        including padding, matching the reference's accumulation at T=1 —
-        behavioural_cloning.py:117)."""
+        Comparability caveat: the loader's round-robin trajectory partition
+        (and its stop-at-first-exhausted-stream epoch end) depend on
+        ``hp.batch_size``, so different batch sizes score different frame
+        subsets.  Compare runs at the SAME batch size — or batch_size=1,
+        which scores every trajectory end to end; the reported ``frames``
+        count makes coverage explicit either way."""
         from vpt_tpu.data.loader import SequenceDataLoader
 
         self.init()
-        eval_step = self._build_eval_step()
+        if getattr(self, "_eval_step", None) is None:
+            self._eval_step = self._build_eval_step()
+        eval_step = self._eval_step
         loader = SequenceDataLoader(
             data_dir, batch_size=self.hp.batch_size, chunk_len=self.hp.chunk_len,
             n_epochs=1, seed=self._seed,
@@ -375,11 +391,7 @@ class BCTrainer:
         n_batches = 0
         try:
             for batch in loader:
-                new_episode = batch["episode_ids"] != last_episode
-                batch["firsts"] = batch["firsts"] | new_episode[:, None] & (
-                    np.arange(self.hp.chunk_len)[None] == 0
-                )
-                last_episode = batch["episode_ids"]
+                last_episode = inject_episode_firsts(batch, last_episode, self.hp.chunk_len)
                 placed = {
                     "frames": batch["frames"],
                     "buttons": batch["buttons"].astype(np.int32),
@@ -487,11 +499,7 @@ class BCTrainer:
             nonlocal last_episode
             for batch in batches:
                 batch["_cursor"] = loader.state()
-                new_episode = batch["episode_ids"] != last_episode
-                batch["firsts"] = batch["firsts"] | new_episode[:, None] & (
-                    np.arange(hp.chunk_len)[None] == 0
-                )
-                last_episode = batch["episode_ids"]
+                last_episode = inject_episode_firsts(batch, last_episode, hp.chunk_len)
                 yield batch
 
         data_cursor = loader.state()

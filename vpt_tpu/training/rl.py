@@ -297,7 +297,11 @@ class PPOTrainer:
         # window-start snapshot for the update's chunkwise re-forward: ring
         # layout converts to linear (fresh buffers, so the donated act step
         # can't invalidate it); non-ring states deep-copy for the same reason
-        if isinstance(self.hidden_state[0], dict) and "idx" in self.hidden_state[0]:
+        if (
+            self.hidden_state is not None
+            and isinstance(self.hidden_state[0], dict)
+            and "idx" in self.hidden_state[0]
+        ):
             from vpt_tpu.models.transformer import ring_state_to_linear
 
             initial_state = [ring_state_to_linear(s) for s in self.hidden_state]
