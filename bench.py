@@ -245,7 +245,10 @@ def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
 
     kwargs = dict(FOUNDATION_POLICY_KWARGS, hidsize=1024 * width, impala_width=4 * width)
     hp = BCHyperparams(batch_size=batch, chunk_len=chunk)
-    scan_chunks = 8 if (width >= 2 and batch * chunk >= 512) else 0
+    # CNN activation memory scales with width² per frame; at 3x (0.5B params,
+    # ~8.5 GB of f32 Adam state resident) even 256-frame steps need the CNN
+    # sequentialized to fit 16 GB HBM
+    scan_chunks = 8 if (width >= 3 or (width >= 2 and batch * chunk >= 512)) else 0
     trainer = BCTrainer(kwargs, {"temperature": 2.0}, hp=hp,
                         mesh=make_mesh(), compute_dtype=compute_dtype, remat=True,
                         cnn_scan_chunks=scan_chunks)

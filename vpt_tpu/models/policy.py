@@ -106,9 +106,27 @@ class ImgObsProcess(nn.Module):
             # the module scope and checkpoint paths are unchanged)
             sub = (b * t) // chunks
             xs = x.reshape(chunks, 1, sub, *x.shape[2:])
-            cnn = ImpalaCNN(**cnn_kwargs, name="cnn")
+            # body-level remat below subsumes the per-stack remat — leaving
+            # both on makes the backward recompute the CNN twice (measured
+            # -13% at 2x)
+            scan_kwargs = {**cnn_kwargs, "remat": False} if cfg.remat else cnn_kwargs
+            cnn = ImpalaCNN(**scan_kwargs, name="cnn")
+
+            def body(mdl, carry, xc):
+                return carry, mdl(xc)
+
+            if cfg.remat:
+                # remat the WHOLE scan body, not just each stack inside it:
+                # otherwise the scan saves every iteration's inter-stack
+                # activations as backward residuals (e.g. f32 (chunks, sub,
+                # 64, 64, 192) — gigabytes at 3x width), defeating the point
+                # of chunking.  With body-level remat the only per-iteration
+                # residuals are the raw chunk inputs; the backward pass
+                # recomputes each chunk's CNN once.
+                # prevent_cse=False is safe (and cheaper) under lax.scan.
+                body = nn.remat(body, prevent_cse=False)
             scanned = nn.scan(
-                lambda mdl, carry, xc: (carry, mdl(xc)),
+                body,
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=0,
