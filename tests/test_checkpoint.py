@@ -173,3 +173,41 @@ def test_torch_weights_file_round_trip(variables, tmp_path):
         variables,
         restored,
     )
+
+
+def test_weight_averaging_roundtrip(tmp_path):
+    """average N .weights files == elementwise mean, preserving dtypes and
+    the reference-compatible file format (tools/average_weights.py's core)."""
+    from vpt_tpu.checkpoint.averaging import average_state_dicts, load_average
+    from vpt_tpu.checkpoint.torch_import import save_weights
+
+    rng = np.random.default_rng(0)
+    sds = []
+    for i in range(3):
+        sds.append({
+            "net.w": rng.normal(size=(4, 5)).astype(np.float32),
+            "net.b": rng.normal(size=(5,)).astype(np.float32),
+        })
+    mean = average_state_dicts(sds)
+    np.testing.assert_allclose(
+        mean["net.w"], np.mean([sd["net.w"] for sd in sds], axis=0), rtol=1e-6
+    )
+    assert mean["net.w"].dtype == np.float32
+
+    # file round trip through the torch-compatible format
+    import torch as th
+
+    paths = []
+    for i, sd in enumerate(sds):
+        p = str(tmp_path / f"w{i}.weights")
+        th.save({k: th.from_numpy(v) for k, v in sd.items()}, p)
+        paths.append(p)
+    loaded = load_average(paths)
+    np.testing.assert_allclose(loaded["net.w"], mean["net.w"], rtol=1e-6)
+    np.testing.assert_allclose(loaded["net.b"], mean["net.b"], rtol=1e-6)
+
+    # keys must agree across inputs
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        average_state_dicts([sds[0], {"other": np.zeros(3, np.float32)}])
