@@ -176,10 +176,10 @@ def test_torch_weights_file_round_trip(variables, tmp_path):
 
 
 def test_weight_averaging_roundtrip(tmp_path):
-    """average N .weights files == elementwise mean, preserving dtypes and
-    the reference-compatible file format (tools/average_weights.py's core)."""
+    """average N torch-format .weights files == elementwise mean, preserving
+    dtypes (tools/average_weights.py's core; the files are written the way
+    the reference writes them — th.save of a state_dict)."""
     from vpt_tpu.checkpoint.averaging import average_state_dicts, load_average
-    from vpt_tpu.checkpoint.torch_import import save_weights
 
     rng = np.random.default_rng(0)
     sds = []
@@ -207,7 +207,5 @@ def test_weight_averaging_roundtrip(tmp_path):
     np.testing.assert_allclose(loaded["net.b"], mean["net.b"], rtol=1e-6)
 
     # keys must agree across inputs
-    import pytest as _pytest
-
-    with _pytest.raises(AssertionError):
+    with pytest.raises(AssertionError):
         average_state_dicts([sds[0], {"other": np.zeros(3, np.float32)}])

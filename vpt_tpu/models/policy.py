@@ -106,11 +106,11 @@ class ImgObsProcess(nn.Module):
             # the module scope and checkpoint paths are unchanged)
             sub = (b * t) // chunks
             xs = x.reshape(chunks, 1, sub, *x.shape[2:])
-            # body-level remat below subsumes the per-stack remat — leaving
-            # both on makes the backward recompute the CNN twice (measured
-            # -13% at 2x)
-            scan_kwargs = {**cnn_kwargs, "remat": False} if cfg.remat else cnn_kwargs
-            cnn = ImpalaCNN(**scan_kwargs, name="cnn")
+            # under the scan, per-stack remat is ALWAYS off: the body-level
+            # remat below subsumes it when cfg.remat is set (leaving both on
+            # makes the backward recompute the CNN twice — measured -13% at
+            # 2x), and it is already off otherwise
+            cnn = ImpalaCNN(**{**cnn_kwargs, "remat": False}, name="cnn")
 
             def body(mdl, carry, xc):
                 return carry, mdl(xc)
