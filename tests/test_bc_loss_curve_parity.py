@@ -1,0 +1,246 @@
+"""END-TO-END BC loss-curve parity against the ACTUAL reference trainer.
+
+The strongest offline discharge of BASELINE.json's "BC fine-tune loss curves
+matching reference" clause: drive the reference's own
+``behavioural_cloning_train`` (reference behavioural_cloning.py:49-132) —
+its multiprocessing DataLoader, its MineRLAgent conversions, its per-sample
+gradient accumulation, its torch Adam — on synthetic mp4+jsonl fixtures from
+shared initial weights, record the per-optimizer-step loss sequence at full
+precision, then replay the IDENTICAL sample stream (teed from the reference
+loader, so pixels and actions are bit-identical) through our ``BCTrainer``
+in T=1 compat mode and assert the two loss curves agree step by step.
+
+Reset-semantics note: the reference loop passes ``first=False`` always and
+resets context by giving a new episode a fresh zero state whose
+``state_mask`` is None → zeros (reference masked_attention.py:75-76, 82),
+which masks ALL past columns — numerically identical to our injected
+``first=True`` at episode starts.  Both sides therefore agree without any
+state surgery.
+
+Two reference quirks this test surfaced and pins:
+  * the reference's gradient clipping is a silent NO-OP — it hands
+    ``clip_grad_norm_`` the same ``policy.parameters()`` generator the Adam
+    constructor already exhausted (reference behavioural_cloning.py:60,121;
+    torch warns "parameters is an empty generator").  Our trainer clips for
+    real at 5.0, so this test asserts every measured grad norm stays below
+    the clip threshold — within that regime the two are identical.
+  * torch's Adam skips params whose ``.grad`` is None: the BC loss never
+    backprops into the value head, so the reference leaves it untouched
+    (not even weight decay).  BCTrainer zeroes value-head updates to match.
+"""
+
+import json
+import pickle
+import random
+
+import numpy as np
+import pytest
+
+from test_reference_oracle import _install_reference, _torch_sd
+
+# img_shape must be [128, 128, 3]: the reference data loader resizes every
+# frame to the hardcoded AGENT_RESOLUTION (reference agent.py:14,
+# data_loader.py:120).  obs_processing_width=256 because the reference
+# hardcodes cnn_outsize=256 (reference lib/policy.py:156).
+SMALL_KWARGS = dict(
+    hidsize=64,
+    impala_width=1,
+    impala_chans=[4, 8],
+    img_shape=[128, 128, 3],
+    init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+    impala_kwargs={"post_pool_groups": 1},
+    n_recurrence_layers=2,
+    timesteps=1,
+    attention_heads=4,
+    attention_memory_size=5,
+    recurrence_type="transformer",
+    attention_mask_style="clipped_causal",
+    use_pre_lstm_ln=False,
+    obs_processing_width=256,
+)
+PI_HEAD_KWARGS = {"temperature": "2.0"}  # string: the .model pickle convention
+N_TRAJ = 2
+STEPS_PER_TRAJ = 48
+BATCH = 2  # == N_WORKERS == number of fixtures (reference loader constraints)
+
+KEYS = ["key.keyboard.w", "key.keyboard.a", "key.keyboard.s", "key.keyboard.d",
+        "key.keyboard.left.shift", "key.keyboard.space"]
+DXS = [0.0, 1.3, -2.6, 5.0, -7.7, 11.0]
+DYS = [0.0, -1.1, 3.4, -5.0, 8.8]
+
+
+def _make_fixtures(tmp_path):
+    """Two 48-step trajectories.  Every step presses at least one key so no
+    action is null in EITHER action space — the reference loop's
+    check_if_null skip (behavioural_cloning.py:89-92) never fires and
+    sample↔batch-row alignment stays exact."""
+    from vpt_tpu.data.video import VideoWriter
+
+    rng = np.random.default_rng(7)
+    for j in range(N_TRAJ):
+        vp = str(tmp_path / f"traj{j}.mp4")
+        jp = str(tmp_path / f"traj{j}.jsonl")
+        with VideoWriter(vp, 128, 72, fps=20) as w:
+            for i in range(STEPS_PER_TRAJ):
+                frame = rng.integers(0, 256, (72, 128, 3), dtype=np.uint8)
+                w.write(frame)
+        with open(jp, "w") as f:
+            for i in range(STEPS_PER_TRAJ):
+                step = {
+                    "keyboard": {"keys": [KEYS[(i + j) % len(KEYS)]]},
+                    "mouse": {
+                        "x": float(rng.integers(0, 640)),
+                        "y": float(rng.integers(0, 360)),
+                        "dx": DXS[(i * 3 + j) % len(DXS)],
+                        "dy": DYS[(i * 5 + j) % len(DYS)],
+                        "buttons": [],
+                        "newButtons": [],
+                    },
+                    "hotbar": 0,
+                    "isGuiOpen": bool(i % 11 == 3),
+                }
+                f.write(json.dumps(step) + "\n")
+
+
+def test_bc_loss_curve_matches_reference_trainer(tmp_path, monkeypatch):
+    _install_reference()
+    from vpt_tpu.data.video import native_available
+
+    if not native_available():
+        pytest.skip("native video lib unavailable")
+    cv2 = pytest.importorskip("cv2")  # noqa: F841  (reference loader needs it)
+    import torch as th
+
+    import agent as ref_agent
+    import behavioural_cloning as ref_bc
+
+    from vpt_tpu.parallel.mesh import make_mesh
+    from vpt_tpu.training.bc import BCHyperparams, BCTrainer
+
+    _make_fixtures(tmp_path)
+
+    # ---- shared initial weights: our init, exported to the reference format
+    hp = BCHyperparams(batch_size=BATCH, chunk_len=1)
+    trainer = BCTrainer(SMALL_KWARGS, {"temperature": 2.0}, hp=hp,
+                        mesh=make_mesh(n_dp=1), seed=3)
+    trainer.init()
+    in_model = str(tmp_path / "in.model")
+    in_weights = str(tmp_path / "in.weights")
+    out_weights = str(tmp_path / "out.weights")
+    with open(in_model, "wb") as f:
+        pickle.dump({"model": {"args": {"net": {"args": SMALL_KWARGS},
+                                        "pi_head_opts": dict(PI_HEAD_KWARGS)}}}, f)
+    sd0 = _torch_sd(trainer.variables)
+    th.save(sd0, in_weights)
+
+    # ---- instrument the reference: record every sample's logprob at full
+    # precision, and tee the loader's batches for the replay
+    records = []
+
+    class RecordingAgent(ref_agent.MineRLAgent):
+        def __init__(self, env, device=None, policy_kwargs=None, pi_head_kwargs=None):
+            super().__init__(env, device=device, policy_kwargs=policy_kwargs,
+                             pi_head_kwargs=pi_head_kwargs)
+            orig = self.policy.get_logprob_of_action
+
+            def recording(pi_distribution, action):
+                lp = orig(pi_distribution, action)
+                records.append(float(lp.detach().sum()))
+                return lp
+
+            self.policy.get_logprob_of_action = recording
+
+    teed = []
+
+    class TeeLoader(ref_bc.DataLoader):
+        def __next__(self):
+            frames, actions, episode_ids = super().__next__()
+            teed.append((list(frames), [dict(a) for a in actions], list(episode_ids)))
+            return frames, actions, episode_ids
+
+    fake_env = type("FakeEnv", (), {"close": lambda self: None})()
+    monkeypatch.setattr(ref_agent, "validate_env", lambda env: None)
+    monkeypatch.setattr(ref_bc.gym, "make", lambda name: fake_env, raising=False)
+    monkeypatch.setattr(ref_bc, "MineRLAgent", RecordingAgent)
+    monkeypatch.setattr(ref_bc, "DataLoader", TeeLoader)
+    monkeypatch.setattr(ref_bc, "DEVICE", "cpu")
+    monkeypatch.setattr(ref_bc, "EPOCHS", 1)
+    monkeypatch.setattr(ref_bc, "BATCH_SIZE", BATCH)
+    monkeypatch.setattr(ref_bc, "N_WORKERS", BATCH)
+
+    random.seed(0)  # the reference loader's epoch shuffle
+    th.manual_seed(0)
+    ref_bc.behavioural_cloning_train(str(tmp_path), in_model, in_weights, out_weights)
+
+    n_batches = len(teed)
+    assert n_batches >= 20, f"fixture too small for a ≥20-step curve ({n_batches})"
+    # no sample was null-skipped → exact batch grouping of the recorded logprobs
+    assert len(records) == n_batches * BATCH
+    ref_losses = [
+        sum(-lp / BATCH for lp in records[b * BATCH:(b + 1) * BATCH])
+        for b in range(n_batches)
+    ]
+
+    # ---- replay the identical stream through our trainer (T=1 compat mode)
+    from vpt_tpu.actions import ActionTransformer, CameraHierarchicalMapping
+    from vpt_tpu.config import ACTION_TRANSFORMER_KWARGS
+
+    mapper = CameraHierarchicalMapping(n_camera_bins=11)
+    transformer = ActionTransformer(**ACTION_TRANSFORMER_KWARGS)
+
+    def to_indices(env_action):
+        factored = transformer.env2policy(env_action)
+        factored = {k: v[None] for k, v in factored.items()}
+        joint = mapper.from_factored(factored)
+        return int(joint["buttons"][0, 0]), int(joint["camera"][0, 0])
+
+    state = trainer.initial_state(BATCH)
+    last_episode = np.full(BATCH, -1, np.int64)
+    our_losses, grad_norms = [], []
+    for frames, actions, episode_ids in teed:
+        ep = np.asarray(episode_ids, np.int64)
+        idx = [to_indices(a) for a in actions]
+        batch = {
+            "frames": np.stack(frames)[:, None],
+            "buttons": np.asarray([[b] for b, _ in idx], np.int32),
+            "camera": np.asarray([[c] for _, c in idx], np.int32),
+            "firsts": (ep != last_episode)[:, None],
+            "mask": np.ones((BATCH, 1), bool),
+        }
+        last_episode = ep
+        state, loss, gn = trainer.train_step(batch, state)
+        our_losses.append(float(loss))
+        grad_norms.append(float(gn))
+
+    ref_losses = np.asarray(ref_losses)
+    our_losses = np.asarray(our_losses)
+    # the reference never actually clips (see module docstring); parity holds
+    # because every grad norm stays under our (real) 5.0 clip threshold
+    assert max(grad_norms) < 5.0, f"grad norm {max(grad_norms)} would clip"
+    # the curves must actually be curves: training moved the loss
+    assert ref_losses[-1] < ref_losses[0]
+    # per-optimizer-step agreement over the whole run (loss scale ≈ ln(8641·121)
+    # ≈ 13.86 at init); drift compounds through 20+ Adam steps, so the
+    # tolerance is loose vs single-forward parity but tight vs the loss scale
+    np.testing.assert_allclose(our_losses, ref_losses, atol=2e-3, rtol=2e-4)
+
+    # ---- endpoint check: the reference's saved fine-tuned weights match ours
+    ref_final = th.load(out_weights, map_location="cpu", weights_only=True)
+    ours_final = _torch_sd(trainer.variables)
+    diffs = sorted(
+        ((float((ref_final[k].double() - ours_final[k].double()).abs().max()), k)
+         for k in ours_final),
+        reverse=True,
+    )
+    # Endpoint bound: gradients agree to ~1e-6 (test_grad_parity), but Adam's
+    # per-entry update saturates at ±lr for noise-dominated entries — a
+    # float32-noise sign flip in a tiny gradient moves that entry by up to
+    # lr per step regardless of magnitude agreement.  The worst-case drift
+    # after n steps is therefore n·lr (observed ≈40% of it); anything beyond
+    # that bound would indicate a real modeling/optimizer mismatch.
+    bound = n_batches * ref_bc.LEARNING_RATE
+    assert diffs[0][0] < bound, f"final parameter divergence, worst keys: {diffs[:5]}"
+    # the value head must be bit-identical: neither side may touch it
+    for k in ours_final:
+        if k.startswith("value_head"):
+            assert float((ref_final[k] - ours_final[k]).abs().max()) == 0.0, k

@@ -283,6 +283,17 @@ class BCTrainer:
             )
             grad_norm = optax.global_norm(grads)
             updates, opt_state = optimizer.update(grads, opt_state, variables["params"])
+            # The BC loss is -logprob only: the value head receives no
+            # gradient, and torch's Adam skips grad-less params entirely —
+            # not even weight decay touches them (reference
+            # behavioural_cloning.py:101-119 never backprops through
+            # v_prediction).  Mirror that exactly so BC fine-tuning
+            # preserves a checkpoint's value function bit-for-bit
+            # (proven end-to-end in tests/test_bc_loss_curve_parity.py).
+            updates = {
+                k: (jax.tree.map(jnp.zeros_like, v) if k == "value_head" else v)
+                for k, v in updates.items()
+            }
             params = optax.apply_updates(variables["params"], updates)
             # detach the carried state (truncated BPTT at chunk boundary)
             state_out = jax.tree.map(jax.lax.stop_gradient, state_out)
@@ -349,8 +360,19 @@ class BCTrainer:
 
     def _build_eval_step(self):
         policy, specs = self.policy, self.head_specs
+        # Under QAT the train loss sees fake-quantized dense kernels; score
+        # held-out NLL under the same weight numerics (and the same numerics
+        # int8 serving will use), not the raw float params.
+        qat_mask = self._qat_mask() if self.qat_dense else None
 
         def eval_step(variables, batch, state):
+            if qat_mask is not None:
+                from vpt_tpu.ops.int8 import fake_quant_dense_params
+
+                variables = dict(variables)
+                variables["params"] = fake_quant_dense_params(
+                    variables["params"], mask=qat_mask
+                )
             out, state_out = policy.apply(
                 variables, batch["frames"], batch["firsts"], state
             )

@@ -194,7 +194,15 @@ class PPBCTrainer:
 
             grad_norm = optax.global_norm(grads)
             updates, opt_state = optimizer.update(grads, opt_state, (rest, stacked))
-            rest, stacked = optax.apply_updates((rest, stacked), updates)
+            # BC never backprops into the value head; torch Adam skips
+            # grad-less params (no update, no weight decay) — mirror it
+            # (see training/bc.py and tests/test_bc_loss_curve_parity.py)
+            rest_up, stacked_up = updates
+            rest_up = {
+                k: (jax.tree.map(jnp.zeros_like, v) if k == "value_head" else v)
+                for k, v in rest_up.items()
+            }
+            rest, stacked = optax.apply_updates((rest, stacked), (rest_up, stacked_up))
             state_out = jax.tree.map(jax.lax.stop_gradient, state_out)
             return rest, stacked, opt_state, state_out, loss, grad_norm
 
