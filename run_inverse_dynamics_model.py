@@ -71,6 +71,9 @@ def streaming_main(agent, video_path, json_data, n_frames, stride, window_batch,
                 break
             n_read += 1
             emit(labeler.feed(frame))
+        if max_frames is not None and n_read == max_frames and cap.read() is not None:
+            print(f"WARNING: stopped at --n-batches cap ({max_frames} frames) "
+                  f"before end of video; omit --n-batches to label the whole recording.")
         emit(labeler.finish())
     dt = time.time() - t0
     if total:
@@ -91,12 +94,18 @@ def main(model, weights, video_path, json_path, n_batches, n_frames, out=None,
     agent.load_weights(weights)
 
     if stride is not None and stride < n_frames:
+        # Streaming mode labels the whole video unless --n-batches was passed
+        # explicitly — the visualization default of 10 would silently truncate
+        # long recordings at n_batches * n_frames frames.
         json_data = _load_jsonl(json_path) if json_path else None
-        max_frames = n_batches * n_frames if n_batches else None
+        max_frames = n_batches * n_frames if n_batches is not None else None
         streaming_main(agent, video_path, json_data, n_frames, stride,
                        window_batch, out=out, max_frames=max_frames,
                        strict_resolution=strict_resolution, metrics=metrics)
         return
+
+    if n_batches is None:
+        n_batches = 10  # reference default (run_inverse_dynamics_model.py:200)
 
     json_data = _load_jsonl(json_path) if json_path else None
     json_index = 0
@@ -179,7 +188,7 @@ if __name__ == "__main__":
     parser.add_argument("--video-path", type=str, required=True, help="Path to a .mp4 file (Minecraft recording).")
     parser.add_argument("--jsonl-path", type=str, required=False, default=None, help="Path to a .jsonl file (Minecraft recording).")
     parser.add_argument("--n-frames", type=int, default=128, help="Number of frames to process at a time.")
-    parser.add_argument("--n-batches", type=int, default=10, help="Number of batches (n-frames) to process for visualization.")
+    parser.add_argument("--n-batches", type=int, default=None, help="Number of batches (n-frames) to process. Default: 10 for visualization mode, unlimited (whole video) for streaming --stride mode.")
     parser.add_argument("--out", type=str, default=None, help="Write predicted actions to this JSONL file.")
     parser.add_argument("--out-video", type=str, default=None, help="Write an annotated prediction video here.")
     parser.add_argument("--no-strict-resolution", action="store_true", help="Accept videos that are not 640x360.")

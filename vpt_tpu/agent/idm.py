@@ -72,9 +72,21 @@ class IDMAgent:
 
         return jax.jit(forward)
 
+    def _input_shape(self):
+        """Raw video input is ALWAYS (h, w, 3): in the reference's kwargs
+        convention ``img_shape[2]`` declares the IMPALA input — i.e. the
+        conv3d front end's OUTPUT channels (the published 4x IDM ships
+        img_shape=[128, 128, 128]) — not the video's.  Init templates built
+        from img_shape would give the conv3d kernel the wrong fan-in and
+        strict=False weight loading would silently drop it."""
+        h, w, c = self.cfg.img_shape
+        if self.cfg.conv3d_params:
+            c = int(self.cfg.conv3d_params.get("inchan", 3))
+        return (h, w, c)
+
     def _ensure_variables(self, t: int = 2):
         if self.variables is None:
-            img = jnp.zeros((1, t) + tuple(self.cfg.img_shape), jnp.uint8)
+            img = jnp.zeros((1, t) + self._input_shape(), jnp.uint8)
             state = policy_initial_state(self.cfg, 1)
             self.variables = jax.jit(self.policy.init)(
                 jax.random.PRNGKey(0), img, jnp.zeros((1, t), bool), state
@@ -97,7 +109,7 @@ class IDMAgent:
             temperature=self.temperature,
         )
         t = 2
-        img = jnp.zeros((1, t) + tuple(self.cfg.img_shape), jnp.uint8)
+        img = jnp.zeros((1, t) + self._input_shape(), jnp.uint8)
         state = policy_initial_state(self.cfg, 1)
         template = jax.eval_shape(
             qpolicy.init, jax.random.PRNGKey(0), img, jnp.zeros((1, t), bool), state
