@@ -368,3 +368,50 @@ def test_update_recompute_matches_collection_with_mid_window_resets():
     metrics = trainer.update(traj)
     assert metrics["approx_kl"] < 1e-6, metrics["approx_kl"]
     assert metrics["clip_frac"] == 0.0, metrics["clip_frac"]
+
+
+@pytest.mark.parametrize("groups", [1, 2])
+def test_collect_snapshot_reforward_consistency(groups):
+    """The window-snapshot contract the update path depends on: chunkwise
+    re-forwarding the collected frames from ``initial_state`` must reproduce
+    the logp/vpred recorded during stepped collection — including with
+    pipelined grouped collection (per-group snapshots concatenated) and
+    mid-stream episode resets."""
+    import jax.numpy as jnp
+
+    from vpt_tpu.models.heads import dict_logprob
+
+    trainer = _make_trainer(b=4, rollout_len=6, n_minibatches=1,
+                            n_collect_groups=groups)
+    envs = _envs(4, done_prob=0.3)
+    traj, obs, firsts = trainer.collect(envs)
+    # second window starts from carried mid-stream state → snapshot nontrivial
+    traj, obs, firsts = trainer.collect(envs, obs, firsts)
+    assert traj["frames"].shape == (4, 6, 32, 32, 3)
+
+    out, _ = trainer.policy.apply(
+        trainer.variables, jnp.asarray(traj["frames"]),
+        jnp.asarray(traj["firsts"]), traj["initial_state"],
+    )
+    actions = {
+        "buttons": jnp.asarray(traj["buttons"])[..., None],
+        "camera": jnp.asarray(traj["camera"])[..., None],
+    }
+    logp = dict_logprob(out["pi_logits"], actions, trainer.head_specs)
+    np.testing.assert_allclose(np.asarray(logp), traj["logp_old"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["vpred"][..., 0]), traj["values"], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_grouped_collect_update_end_to_end():
+    """Grouped collection feeds the (unchanged) update path: metrics finite,
+    buffer layout intact."""
+    trainer = _make_trainer(b=4, rollout_len=6, n_minibatches=2,
+                            n_collect_groups=2)
+    envs = _envs(4, done_prob=0.2)
+    traj, _, _ = trainer.collect(envs, reward_fn=lambda a, o, r, d: 1.0)
+    assert np.all(traj["rewards"] == 1.0)
+    metrics = trainer.update(traj)
+    for key in ("loss", "pg_loss", "v_loss", "approx_kl", "clip_frac"):
+        assert np.isfinite(metrics[key]), (key, metrics)

@@ -81,6 +81,14 @@ class PPOHyperparams:
     n_minibatches: int = 2              # stream-axis splits per epoch
     rollout_len: int = 40               # T steps collected per update
     normalize_advantages: bool = True
+    # Pipelined collection: split the stream axis into G round-robin groups
+    # so host work (env stepping, resize, decode) of group g overlaps the
+    # device step of group g+1 — the same latency-hiding trick as the
+    # serving runtime's GroupedRolloutRunner (agent/rollout.py:153).  The
+    # update path is unchanged: per-group window snapshots concatenate into
+    # the one (B, …) initial_state the chunkwise re-forward consumes
+    # (equivalence proven by tests/test_rl.py::test_collect_snapshot_*).
+    n_collect_groups: int = 1
     # Phasic policy gradient (Cobbe et al. 2021; the VPT paper's RL
     # algorithm): every ``aux_phase_every`` policy updates, run
     # ``aux_epochs`` of an auxiliary phase over the buffered rollouts that
@@ -172,10 +180,11 @@ class PPOTrainer:
         self.kl_coef = self.hp.kl_coef
         self.update_count = 0
         self.hidden_state = None
+        self._group_states = None   # grouped-collection recurrent state
         self._aux_buffer: List[Dict[str, Any]] = []  # PPG: rollouts since last aux phase
         self._act = self._build_act()
         self._anchor_forward = self._build_anchor_forward()
-        self._ppo_step = self._build_ppo_step()
+        self._ppo_update = self._build_ppo_update()
         self._aux_step = self._build_aux_step()
 
     # ------------------------------------------------------------------ setup
@@ -271,11 +280,18 @@ class PPOTrainer:
         trajectory buffer the update consumes, plus (obs, firsts) to thread
         into the next collect call.
 
+        With ``hp.n_collect_groups > 1`` the streams run as round-robin
+        groups: host work for one group overlaps device compute (and D2H
+        transfers) of the others — the serving runtime's latency-hiding
+        pattern applied to RL collection.
+
         :param reward_fn: optional ``f(env_action, obs, env_reward, done) ->
             float`` per stream, overriding the env's reward (MineRL basalt
             envs emit none — the VPT RL phase defines its own).
         """
         self.init()
+        if self.hp.n_collect_groups > 1:
+            return self._collect_grouped(envs, obs, firsts, reward_fn)
         b, t_len = len(envs), self.hp.rollout_len
         if obs is None:
             obs = [e.reset() for e in envs]
@@ -360,6 +376,133 @@ class PPOTrainer:
         buf["initial_state"] = initial_state
         return buf, obs, firsts
 
+    def _collect_grouped(self, envs: List, obs: Optional[List],
+                         firsts: Optional[np.ndarray],
+                         reward_fn: Optional[Callable]):
+        """Pipelined collection: G round-robin stream groups through the one
+        compiled act step.  While group g's (action, logp, vpred) transfer
+        back and its envs step on the host, groups g+1…G-1's device steps are
+        already in flight — on a remote-attached chip this hides the D2H
+        round trip; on a real host it hides env stepping and resize.
+
+        The trajectory buffer is identical in layout to the serial path:
+        group g owns stream rows [g·gb, (g+1)·gb); per-group window-start
+        snapshots concatenate into the single (B, …) ``initial_state`` the
+        chunkwise update re-forwards from."""
+        hp = self.hp
+        G = hp.n_collect_groups
+        b, t_len = len(envs), hp.rollout_len
+        assert b % G == 0, (b, G)
+        gb = b // G
+        data_sh = batch_sharded(self.mesh)
+        repl = replicated(self.mesh)
+        ring = self.cfg.recurrence_type == "transformer"
+        if obs is None:
+            obs = [e.reset() for e in envs]
+            firsts = np.ones(b, bool)
+            self._group_states = None
+        if firsts is None:
+            firsts = np.zeros(b, bool)
+        firsts = np.asarray(firsts, bool).copy()
+        if getattr(self, "_group_states", None) is None:
+            self._group_states = [
+                jax.tree.map(
+                    lambda x: jax.device_put(x, repl if x.ndim == 0 else data_sh),
+                    policy_initial_state(self.cfg, gb, ring=ring),
+                )
+                for _ in range(G)
+            ]
+
+        # per-group window-start snapshots → one (B, …) linear-layout state
+        snapshots = []
+        for s in self._group_states:
+            if isinstance(s[0], dict) and "idx" in s[0]:
+                from vpt_tpu.models.transformer import ring_state_to_linear
+
+                snapshots.append([ring_state_to_linear(blk) for blk in s])
+            else:
+                snapshots.append(jax.tree.map(jnp.copy, s))
+        initial_state = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *snapshots
+        )
+
+        buf = {
+            "frames": np.zeros((b, t_len) + tuple(self.cfg.img_shape), np.uint8),
+            "buttons": np.zeros((b, t_len), np.int32),
+            "camera": np.zeros((b, t_len), np.int32),
+            "logp_old": np.zeros((b, t_len), np.float32),
+            "values": np.zeros((b, t_len), np.float32),
+            "rewards": np.zeros((b, t_len), np.float32),
+            "firsts": np.zeros((b, t_len), bool),
+        }
+        slices = [slice(g * gb, (g + 1) * gb) for g in range(G)]
+        pending: List = [None] * G
+
+        def dispatch(g: int, t: int):
+            sl = slices[g]
+            img = self._resize(obs[sl])
+            buf["frames"][sl, t] = img
+            buf["firsts"][sl, t] = firsts[sl]
+            img_d = jax.device_put(img, data_sh)
+            first_d = jax.device_put(firsts[sl], data_sh)
+            action, logp, vpred, self._group_states[g], self._rng = self._act(
+                self.variables, img_d, first_d, self._group_states[g], self._rng
+            )
+            for x in (logp, vpred, *action.values()):
+                try:
+                    x.copy_to_host_async()
+                except Exception:
+                    pass
+            pending[g] = (t, action, logp, vpred)
+
+        def harvest(g: int):
+            t, action, logp, vpred = pending[g]
+            pending[g] = None
+            sl = slices[g]
+            action = {k: np.asarray(v) for k, v in action.items()}
+            buf["buttons"][sl, t] = action["buttons"][:, 0]
+            buf["camera"][sl, t] = action["camera"][:, 0]
+            buf["logp_old"][sl, t] = np.asarray(logp)
+            buf["values"][sl, t] = np.asarray(vpred)
+            env_actions = self._agent_action_to_env(action)
+            group_envs = envs[sl]
+            next_firsts = np.zeros(gb, bool)
+            for i, env in enumerate(group_envs):
+                env_action = {k: v[i] for k, v in env_actions.items()}
+                ob, reward, done, _info = env.step(env_action)
+                if reward_fn is not None:
+                    reward = reward_fn(env_action, ob, reward, done)
+                buf["rewards"][sl.start + i, t] = reward
+                if done:
+                    ob = env.reset()
+                    next_firsts[i] = True
+                obs[sl.start + i] = ob
+            firsts[sl] = next_firsts
+
+        for g in range(G):
+            dispatch(g, 0)
+        for t in range(t_len):
+            for g in range(G):
+                harvest(g)
+                if t + 1 < t_len:
+                    dispatch(g, t + 1)
+
+        # bootstrap values; feed act a COPY (it donates its state argument)
+        last_handles = []
+        for g in range(G):
+            sl = slices[g]
+            img_d = jax.device_put(self._resize(obs[sl]), data_sh)
+            first_d = jax.device_put(firsts[sl], data_sh)
+            _, _, last_value, _, self._rng = self._act(
+                self.variables, img_d, first_d,
+                jax.tree.map(jnp.copy, self._group_states[g]), self._rng
+            )
+            last_handles.append(last_value)
+        buf["last_value"] = np.concatenate([np.asarray(v) for v in last_handles])
+        buf["last_first"] = firsts.copy()
+        buf["initial_state"] = initial_state
+        return buf, obs, firsts
+
     def _agent_action_to_env(self, agent_action) -> Dict[str, np.ndarray]:
         factored = self.action_mapper.to_factored(
             {k: np.asarray(v) for k, v in agent_action.items()}
@@ -377,7 +520,7 @@ class PPOTrainer:
 
         return jax.jit(forward)
 
-    def _build_ppo_step(self):
+    def _build_ppo_update(self):
         policy, specs, optimizer, hp = self.policy, self.head_specs, self.optimizer, self.hp
 
         def loss_fn(params, stats, mb, state, kl_coef):
@@ -425,15 +568,53 @@ class PPOTrainer:
             params = optax.apply_updates(variables["params"], updates)
             return {"params": params, "stats": variables["stats"]}, opt_state, aux
 
+        def ppo_epochs(variables, opt_state, batch, initial_state, kl_coef, key):
+            """All PPO epochs over one collected batch in ONE jitted call:
+            the batch stays device-resident across epochs, each epoch's
+            stream permutation is a device `jax.random.permutation`, and
+            minibatches are dynamic-slice gathers of the resident batch —
+            zero host↔device traffic after the single initial placement
+            (round 2 re-uploaded every epoch's minibatches from host)."""
+            b = batch["logp_old"].shape[0]
+            mb_size = b // hp.n_minibatches
+
+            def epoch_body(carry, ekey):
+                def mb_body(carry, m):
+                    variables, opt_state = carry
+                    idx = jax.lax.dynamic_slice_in_dim(perm, m * mb_size, mb_size)
+                    mb = jax.tree.map(
+                        lambda x: jnp.take(x, idx, axis=0, unique_indices=True), batch
+                    )
+                    smb = jax.tree.map(
+                        lambda x: jnp.take(x, idx, axis=0, unique_indices=True),
+                        initial_state,
+                    )
+                    variables, opt_state, aux = ppo_step(
+                        variables, opt_state, mb, smb, kl_coef
+                    )
+                    return (variables, opt_state), aux
+
+                perm = jax.random.permutation(ekey, b)
+                carry, auxes = jax.lax.scan(
+                    mb_body, carry, jnp.arange(hp.n_minibatches)
+                )
+                return carry, jax.tree.map(lambda x: x[-1], auxes)
+
+            keys = jax.random.split(key, hp.n_epochs)
+            (variables, opt_state), auxes = jax.lax.scan(
+                epoch_body, (variables, opt_state), keys
+            )
+            return variables, opt_state, jax.tree.map(lambda x: x[-1], auxes)
+
         if self._params_sharded:
             # params/moments carry explicit fsdp/tp shardings on the arrays;
             # jit propagates them through SPMD, donation keeps them in place
-            return jax.jit(ppo_step, donate_argnums=(0, 1))
+            return jax.jit(ppo_epochs, donate_argnums=(0, 1))
         data_sh = batch_sharded(self.mesh)
         repl = replicated(self.mesh)
         return jax.jit(
-            ppo_step,
-            in_shardings=(repl, repl, data_sh, data_sh, repl),
+            ppo_epochs,
+            in_shardings=(repl, repl, data_sh, data_sh, repl, repl),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
         )
@@ -568,21 +749,14 @@ class PPOTrainer:
             "anchor_logits": anchor_logits,
         }
 
-        rng = np.random.default_rng(self._seed + self.update_count)
-        mb_size = b // hp.n_minibatches
-        last_aux = None
-        for _ in range(hp.n_epochs):
-            perm = rng.permutation(b)
-            for m in range(hp.n_minibatches):
-                idx = np.sort(perm[m * mb_size:(m + 1) * mb_size])
-                mb = jax.tree.map(lambda x: x[idx], batch)
-                state_mb = jax.tree.map(lambda x: x[idx], initial_state)
-                mb = jax.device_put(mb, data_sh)
-                state_mb = jax.device_put(state_mb, data_sh)
-                self.variables, self.opt_state, aux = self._ppo_step(
-                    self.variables, self.opt_state, mb, state_mb, jnp.float32(self.kl_coef)
-                )
-                last_aux = aux
+        # all epochs run device-side in one jitted call (permutation, gather,
+        # and optimizer steps) — no per-epoch host round trips
+        self._rng, update_key = jax.random.split(self._rng)
+        self.variables, self.opt_state, last_aux = self._ppo_update(
+            self.variables, self.opt_state, batch,
+            jax.device_put(initial_state, data_sh),
+            jnp.float32(self.kl_coef), update_key,
+        )
         self.kl_coef *= hp.kl_decay
         self.update_count += 1
         metrics = {k: float(v) for k, v in last_aux.items()}
@@ -656,6 +830,7 @@ class PPOTrainer:
         self.kl_coef = float(data_state["kl_coef"])
         self.update_count = int(data_state["update_count"])
         self.hidden_state = None  # envs restart; state re-initializes on collect
+        self._group_states = None
         return True
 
     # ------------------------------------------------------------------- run
