@@ -203,3 +203,49 @@ def test_idm_predict_actions():
     agent.reset()
     actions2 = agent.predict_actions(frames)
     np.testing.assert_array_equal(actions["camera"], actions2["camera"])
+
+
+def test_mesh_sharded_serving_matches_single_device(tmp_path):
+    """dp-sharded serving (params replicated, stream axis + KV caches sharded
+    over an 8-device mesh) produces the same actions as single-device serving
+    from the same weights — the multi-chip batched-rollout runtime contract
+    (SURVEY §2).  Deterministic decode isolates the comparison from sampling."""
+    import jax
+
+    from vpt_tpu.checkpoint import save_weights
+    from vpt_tpu.parallel.mesh import make_mesh
+
+    B = 8
+    base = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs=PI_KWARGS,
+                       batch_size=B, seed=0)
+    base._ensure_variables()
+    wpath = str(tmp_path / "w.weights")
+    save_weights(wpath, jax.tree.map(np.asarray, base.variables))
+
+    mesh = make_mesh(n_dp=8)
+    sharded = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs=PI_KWARGS,
+                          batch_size=B, seed=0, mesh=mesh)
+    sharded.load_weights(wpath)
+    base.load_weights(wpath)
+
+    # the KV cache must actually live sharded on the mesh
+    leaf = jax.tree.leaves(sharded.hidden_state)[-1]
+    spec_axes = [
+        a for el in tuple(getattr(leaf.sharding, "spec", ()))
+        for a in (el if isinstance(el, (tuple, list)) else (el,))
+    ]
+    assert "dp" in spec_axes, leaf.sharding
+
+    obs = [_obs(seed=100 + i) for i in range(B)]
+    for step in range(3):
+        first = np.zeros(B, bool)
+        if step == 1:
+            first[::2] = True  # mid-run resets must agree too
+        a1 = base.get_action(obs, first=first, stochastic=False)
+        a2 = sharded.get_action(obs, first=first, stochastic=False)
+        for i in range(B):
+            for k in a1[i]:
+                np.testing.assert_array_equal(
+                    np.asarray(a1[i][k]), np.asarray(a2[i][k]), err_msg=(step, i, k)
+                )
+        obs = [_obs(seed=200 + 17 * step + i) for i in range(B)]

@@ -84,6 +84,13 @@ class MineRLAgent:
         (float bilinear, ≤1 intensity step from the cv2-exact host path).
         Essential when the host can't keep up — this image has ONE cpu core,
         capping host-side resize at ~5k frames/sec while the chip serves ~7k.
+    :param mesh: optional ``jax.sharding.Mesh`` for multi-chip serving —
+        parameters replicate, the stream (batch) axis AND the per-stream KV
+        caches shard over the mesh's data axes, and the step runs SPMD
+        (SURVEY §2 "Consequence for the build": the batched-rollout runtime
+        with the KV cache as a sharded persistent device array).  Equality
+        with single-device serving is proven by
+        tests/test_agent.py::test_mesh_sharded_serving_matches_single_device.
     """
 
     def __init__(
@@ -100,7 +107,17 @@ class MineRLAgent:
         decode_on_device: bool = True,
         params_dtype: str = "float32",
         quantize_dense: bool = False,
+        mesh=None,
     ):
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = int(
+                np.prod([mesh.shape[a] for a in ("dp", "fsdp") if a in mesh.axis_names])
+            )
+            assert batch_size % max(n_data, 1) == 0, (
+                f"batch_size {batch_size} must divide over the mesh's "
+                f"{n_data} data-parallel devices"
+            )
         self.params_dtype = params_dtype
         # int8 trunk serving (ops/int8.py): the t=1 decode is weight-read-
         # bound, so int8 kernels quarter the dominant HBM traffic
@@ -136,8 +153,14 @@ class MineRLAgent:
         # 128×128 for all published checkpoints (reference: agent.py:14)
         self._resolution = (self.cfg.img_shape[1], self.cfg.img_shape[0])
         self._rng = jax.random.PRNGKey(seed)
+        if mesh is not None:
+            from vpt_tpu.parallel.mesh import replicated
+
+            self._rng = jax.device_put(self._rng, replicated(mesh))
         self.variables = None
-        self.hidden_state = policy_initial_state(self.cfg, batch_size, ring=ring_cache)
+        self.hidden_state = self._place_state(
+            policy_initial_state(self.cfg, batch_size, ring=ring_cache)
+        )
         self._step = self._build_step()
         self._resize_pool = None
         if batch_size > 1:
@@ -147,6 +170,34 @@ class MineRLAgent:
             self._resize_pool = ThreadPoolExecutor(max_workers=min(16, batch_size))
 
     # ------------------------------------------------------------------ setup
+
+    def _place_state(self, state):
+        """Commit recurrent-state leaves to the mesh: per-stream KV caches
+        shard on the data axes, scalar leaves (ring indices) replicate.
+        No-op without a mesh."""
+        if self.mesh is None:
+            return state
+        from vpt_tpu.parallel.mesh import batch_sharded, replicated
+
+        sh, repl = batch_sharded(self.mesh), replicated(self.mesh)
+        return jax.tree.map(
+            lambda x: jax.device_put(x, repl if getattr(x, "ndim", 1) == 0 else sh),
+            state,
+        )
+
+    def _place_params(self, variables):
+        if self.mesh is None or variables is None:
+            return variables
+        from vpt_tpu.parallel.mesh import replicated
+
+        return jax.device_put(variables, replicated(self.mesh))
+
+    def _place_data(self, x):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from vpt_tpu.parallel.mesh import batch_sharded
+
+        return jax.device_put(np.asarray(x), batch_sharded(self.mesh))
 
     def _build_step(self):
         policy, specs = self.policy, self.head_specs
@@ -186,7 +237,9 @@ class MineRLAgent:
             self.variables = jax.jit(self.policy.init)(
                 jax.random.PRNGKey(0), img, jnp.zeros((1, 1), bool), state
             )
-            self.variables = cast_params(self.variables, self.params_dtype)
+            self.variables = self._place_params(
+                cast_params(self.variables, self.params_dtype)
+            )
         if quantize:
             self._maybe_quantize()
 
@@ -207,7 +260,7 @@ class MineRLAgent:
         template = jax.eval_shape(
             qpolicy.init, jax.random.PRNGKey(0), img, jnp.zeros((1, 1), bool), state
         )
-        self.variables = quantize_variables(self.variables, template)
+        self.variables = self._place_params(quantize_variables(self.variables, template))
         self.policy = qpolicy
         self._step = self._build_step()
         self._quantized = True
@@ -223,8 +276,10 @@ class MineRLAgent:
             self._step = self._build_step()
         self._ensure_variables(quantize=False)
         sd = load_weights(path)
-        self.variables, report = state_dict_to_variables(sd, variables=self.variables)
-        self.variables = cast_params(self.variables, self.params_dtype)
+        self.variables, report = state_dict_to_variables(
+            sd, variables=jax.tree.map(np.asarray, self.variables)
+        )
+        self.variables = self._place_params(cast_params(self.variables, self.params_dtype))
         if report["unexpected"] or report["shape_mismatch"]:
             print(
                 f"[vpt_tpu] load_weights: ignored {len(report['unexpected'])} unexpected keys, "
@@ -235,7 +290,9 @@ class MineRLAgent:
 
     def reset(self) -> None:
         """Reset recurrent state for all streams (reference: agent.py:137-139)."""
-        self.hidden_state = policy_initial_state(self.cfg, self.batch_size, ring=self.ring_cache)
+        self.hidden_state = self._place_state(
+            policy_initial_state(self.cfg, self.batch_size, ring=self.ring_cache)
+        )
 
     # ------------------------------------------------------------ conversions
 
@@ -296,7 +353,7 @@ class MineRLAgent:
                                              as_list=isinstance(minerl_obs, list))
             return self.collect_action(handle)
         action, vpred, self.hidden_state, self._rng = self._step(
-            self.variables, jnp.asarray(img), jnp.asarray(first), self.hidden_state,
+            self.variables, self._place_data(img), self._place_data(first), self.hidden_state,
             self._rng, stochastic,
         )
         self._last_vpred = np.asarray(vpred)
@@ -326,7 +383,7 @@ class MineRLAgent:
 
     def _dispatch_prepared(self, img, first, stochastic, as_list: bool):
         packed, self.hidden_state, self._rng = self._step(
-            self.variables, jnp.asarray(img), jnp.asarray(first), self.hidden_state,
+            self.variables, self._place_data(img), self._place_data(first), self.hidden_state,
             self._rng, stochastic,
         )
         try:
@@ -339,7 +396,9 @@ class MineRLAgent:
         """Fresh recurrent state for one batch_size-wide stream group —
         pair with ``dispatch_action(..., state=...)`` to drive several
         independent groups through one agent (GroupedRolloutRunner)."""
-        return policy_initial_state(self.cfg, self.batch_size, ring=self.ring_cache)
+        return self._place_state(
+            policy_initial_state(self.cfg, self.batch_size, ring=self.ring_cache)
+        )
 
     def dispatch_action_with_state(self, minerl_obs, state, first=None, stochastic: bool = True):
         """Explicit-state dispatch: like dispatch_action but the recurrent
@@ -356,7 +415,7 @@ class MineRLAgent:
         else:
             first = np.asarray(first, bool).reshape(b, 1)
         packed, new_state, self._rng = self._step(
-            self.variables, jnp.asarray(img), jnp.asarray(first), state,
+            self.variables, self._place_data(img), self._place_data(first), state,
             self._rng, stochastic,
         )
         try:
