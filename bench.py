@@ -1,17 +1,22 @@
-"""Benchmark: batched policy-rollout throughput on the real chip.
+"""Benchmark: the BASELINE.json metric suite on the real chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+Prints ONE JSON line.  A bare ``python bench.py`` runs the full suite —
+3x-policy rollout (the BASELINE headline, README.md:55 is the 3x model),
+2x rollout, 4x IDM labeling, and 1x BC training — with the 3x rollout as
+the top-level value and the rest under ``"suite"``:
 
-Measured config: the published foundation architecture at 2x width (fallback
-kwargs, agent.py:16-36) serving 64 parallel env streams with the recurrent
-KV cache — BASELINE.json config #5, the batched-rollout runtime.
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+   "suite": {...}}
+
+Individual metrics remain addressable via ``--metric rollout|idm|bc|...``.
 
 ``vs_baseline`` compares against a torch-CPU measurement of the same
 architecture (the reference implementation's framework on the only hardware
 it can run on in this image — no CUDA, and the reference's A100 numbers are
-unpublished).  The torch number is measured once and cached in
-``BENCH_BASELINE.json``; pass --remeasure-baseline to refresh it.
+unpublished); ``vs_baseline_is`` spells this out.  The honest device-limit
+comparison is ``mxu_utilization`` against the measured chip ceiling.  The
+torch number is measured once and cached in ``BENCH_BASELINE.json``; pass
+--remeasure-baseline to refresh it.
 """
 
 from __future__ import annotations
@@ -329,6 +334,31 @@ def bench_rollout_e2e(n_streams: int = N_STREAMS, width: int = 2,
     return runner.run(steps)["frames_per_sec"]
 
 
+def bench_ppo_collect(n_streams: int = 64, rollout_len: int = 64, width: int = 2,
+                      groups: int = 1, compute_dtype: str = "bfloat16",
+                      n_windows: int = 3) -> float:
+    """PPO rollout-collection throughput (frames/sec) on mock envs — the
+    host/device-overlap half of RL training.  ``groups`` > 1 pipelines the
+    stream axis as round-robin groups (hp.n_collect_groups): group g's env
+    stepping/resize/decode overlaps group g+1's device step."""
+    from vpt_tpu.agent.rollout import MockMinecraftEnv
+    from vpt_tpu.config import FOUNDATION_POLICY_KWARGS
+    from vpt_tpu.training.rl import PPOHyperparams, PPOTrainer
+
+    kwargs = dict(FOUNDATION_POLICY_KWARGS, hidsize=1024 * width, impala_width=4 * width)
+    hp = PPOHyperparams(rollout_len=rollout_len, n_collect_groups=groups)
+    trainer = PPOTrainer(kwargs, {"temperature": 2.0}, hp=hp,
+                         compute_dtype=compute_dtype)
+    envs = [MockMinecraftEnv(seed=i) for i in range(n_streams)]
+    traj, obs, firsts = trainer.collect(envs)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(n_windows):
+        traj, obs, firsts = trainer.collect(envs, obs, firsts)
+    # the buffer is host numpy — collect is already synchronized
+    dt = time.perf_counter() - t0
+    return n_streams * rollout_len * n_windows / dt
+
+
 def bench_torch_baseline(n_streams: int = N_STREAMS, width: int = 2) -> float:
     """Same architecture, reference framework (torch), available hardware (CPU)."""
     from bench_torch_ref import measure_policy_step_fps
@@ -336,12 +366,129 @@ def bench_torch_baseline(n_streams: int = N_STREAMS, width: int = 2) -> float:
     return measure_policy_step_fps(n_streams=n_streams, n_steps=3, width=width)
 
 
+VS_BASELINE_IS = ("torch-CPU (1 core) measurement of the reference architecture — "
+                  "the reference framework on this image's only torch hardware; "
+                  "mxu_utilization vs the measured chip ceiling is the device-limit view")
+
+
+def torch_cpu_baseline(width: int, n_streams: int, remeasure: bool = False):
+    """Cached torch-CPU fps of the reference arch at ``width`` (None on failure)."""
+    cache = {}
+    key = f"torch_cpu_fps_{width}x"
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+        if not remeasure and cache.get(key):
+            return float(cache[key])
+    try:
+        baseline = bench_torch_baseline(n_streams=n_streams, width=width)
+        cache[key] = baseline
+        cache["note"] = ("reference architecture in torch on this host's CPU "
+                         "(no CUDA in image); 64-stream single-step rollout")
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(cache, f)
+        return baseline
+    except Exception as e:
+        print(f"# baseline measurement failed: {e!r}", flush=True)
+        return None
+
+
+def result_rollout(ceiling, width=2, streams=N_STREAMS, compute_dtype="bfloat16",
+                   params_dtype="float32", quantize_dense=False, remeasure=False):
+    fps, fpf = bench_tpu(n_streams=streams, compute_dtype=compute_dtype,
+                         width=width, params_dtype=params_dtype,
+                         quantize_dense=quantize_dense)
+    baseline = torch_cpu_baseline(width, streams, remeasure=remeasure)
+    variant = ""
+    if quantize_dense:
+        variant = ", int8 dense"
+    elif params_dtype != "float32":
+        variant = f", {params_dtype} params"
+    return {
+        "metric": f"policy rollout throughput, {width}x-width foundation arch, {streams} streams, KV cache{variant}",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline, 2) if baseline else None,
+        "vs_baseline_is": VS_BASELINE_IS,
+        **roofline_fields(fps, fpf, ceiling),
+    }
+
+
+def result_idm(ceiling, compute_dtype="bfloat16", quantize_dense=False):
+    fps, fpf = bench_idm(compute_dtype=compute_dtype, quantize_dense=quantize_dense)
+    name = "4x IDM labeling throughput, 128-frame windows"
+    if quantize_dense:
+        name += ", int8 dense"
+    return {
+        "metric": name,
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": None,
+        # IDM_4X_KWARGS mirrors the documented 4x scaling; the published
+        # 4x_idm.model ships its own kwargs (unavailable offline)
+        "arch_note": "representative 4x architecture, not the published .model kwargs",
+        **roofline_fields(fps, fpf, ceiling),
+    }
+
+
+def result_bc(ceiling, width=1, compute_dtype="bfloat16", chunk=None):
+    if chunk is None:
+        chunk = 128
+    fps, fpf, h2d = bench_bc_train(compute_dtype=compute_dtype, width=width, chunk=chunk)
+    out = {
+        "metric": f"{width}x BC training throughput (T={chunk}), sequence-chunked DP, pipelined input",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": None,
+        "h2d_seconds_per_batch": round(h2d, 3),
+        **roofline_fields(fps, fpf, ceiling),
+    }
+    if width >= 2:
+        # XLA cost analysis counts a scanned (While) body once, so the
+        # CNN-scan-chunked config underreports FLOPs/frame and utilization
+        out["flops_note"] = "underreported: scanned CNN body counted once by cost analysis"
+    return out
+
+
+def result_suite(ceiling, args):
+    """The BASELINE.json headline set: 3x rollout (top-level value), plus
+    2x rollout, 4x IDM, and 1x BC under ``suite``.  Sub-benches run in
+    separate functions so device buffers free between them; each is guarded
+    so one failure cannot blank the whole artifact."""
+    import gc
+
+    def guarded(fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception as e:
+            return {"error": f"{type(e).__name__}: {e}"}
+        finally:
+            gc.collect()
+
+    headline = guarded(result_rollout, ceiling, width=3, streams=args.streams,
+                       compute_dtype=args.compute_dtype, remeasure=args.remeasure_baseline)
+    suite = {
+        "rollout_2x": guarded(result_rollout, ceiling, width=2, streams=args.streams,
+                              compute_dtype=args.compute_dtype),
+        "idm_4x": guarded(result_idm, ceiling, compute_dtype=args.compute_dtype),
+        "bc_1x": guarded(result_bc, ceiling, width=1, compute_dtype=args.compute_dtype),
+    }
+    if "error" in headline:
+        headline = {"metric": "3x rollout (failed)", "value": None,
+                    "unit": "frames/sec/chip", "vs_baseline": None, **headline}
+    headline["suite"] = suite
+    return headline
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=N_STREAMS)
     ap.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--remeasure-baseline", action="store_true")
-    ap.add_argument("--metric", default="rollout", choices=["rollout", "rollout-e2e", "idm", "bc"])
+    ap.add_argument("--metric", default="suite",
+                    choices=["suite", "rollout", "rollout-e2e", "idm", "bc", "ppo-collect"])
+    ap.add_argument("--groups", type=int, default=1,
+                    help="ppo-collect: round-robin collection groups (pipelined when >1)")
     ap.add_argument("--width", type=int, default=None,
                     help="Foundation width multiple (1/2/3); default 2 for rollout, 1 for bc")
     ap.add_argument("--quantize-dense", action="store_true",
@@ -350,6 +497,23 @@ def main():
                     help="rollout metric: serving parameter storage dtype")
     args = ap.parse_args()
     ceiling = cached_ceiling_tflops(remeasure=args.remeasure_baseline)
+
+    if args.metric == "suite":
+        print(json.dumps(result_suite(ceiling, args)))
+        return
+
+    if args.metric == "ppo-collect":
+        args.width = args.width or 2
+        fps = bench_ppo_collect(n_streams=args.streams, width=args.width,
+                                groups=args.groups, compute_dtype=args.compute_dtype)
+        print(json.dumps({
+            "metric": f"PPO rollout collection (mock envs), {args.width}x arch, "
+                      f"{args.streams} streams, {args.groups} group(s)",
+            "value": round(fps, 2),
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
 
     if args.metric == "rollout-e2e":
         args.width = args.width or 2
@@ -370,79 +534,21 @@ def main():
     if args.metric == "bc":
         width = args.width or 1
         chunk = 128 if width >= 2 else 32
-        fps, fpf, h2d = bench_bc_train(compute_dtype=args.compute_dtype,
-                                       width=width, chunk=chunk)
-        out = {
-            "metric": f"{width}x BC training throughput (T={chunk}), sequence-chunked DP, pipelined input",
-            "value": round(fps, 2),
-            "unit": "frames/sec/chip",
-            "vs_baseline": None,
-            "h2d_seconds_per_batch": round(h2d, 3),
-            **roofline_fields(fps, fpf, ceiling),
-        }
-        if width >= 2:
-            # XLA cost analysis counts a scanned (While) body once, so the
-            # CNN-scan-chunked config underreports FLOPs/frame and utilization
-            out["flops_note"] = "underreported: scanned CNN body counted once by cost analysis"
-        print(json.dumps(out))
+        print(json.dumps(result_bc(ceiling, width=width,
+                                   compute_dtype=args.compute_dtype, chunk=chunk)))
         return
 
     if args.metric == "idm":
-        fps, fpf = bench_idm(compute_dtype=args.compute_dtype,
-                             quantize_dense=args.quantize_dense)
-        name = "4x IDM labeling throughput, 128-frame windows"
-        if args.quantize_dense:
-            name += ", int8 dense"
-        print(json.dumps({
-            "metric": name,
-            "value": round(fps, 2),
-            "unit": "frames/sec/chip",
-            "vs_baseline": None,
-            # IDM_4X_KWARGS mirrors the documented 4x scaling; the published
-            # 4x_idm.model ships its own kwargs (unavailable offline)
-            "arch_note": "representative 4x architecture, not the published .model kwargs",
-            **roofline_fields(fps, fpf, ceiling),
-        }))
+        print(json.dumps(result_idm(ceiling, compute_dtype=args.compute_dtype,
+                                    quantize_dense=args.quantize_dense)))
         return
 
     args.width = args.width or 2
-    fps, fpf = bench_tpu(n_streams=args.streams, compute_dtype=args.compute_dtype,
-                         width=args.width, params_dtype=args.params_dtype,
-                         quantize_dense=args.quantize_dense)
-
-    baseline = None
-    cache = {}
-    key = f"torch_cpu_fps_{args.width}x"
-    if os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as f:
-            cache = json.load(f)
-        if not args.remeasure_baseline:
-            baseline = cache.get(key)
-    if baseline is None:
-        try:
-            baseline = bench_torch_baseline(n_streams=args.streams, width=args.width)
-            cache[key] = baseline
-            cache["note"] = ("reference architecture in torch on this host's CPU "
-                             "(no CUDA in image); 64-stream single-step rollout")
-            with open(BASELINE_CACHE, "w") as f:
-                json.dump(cache, f)
-        except Exception as e:
-            print(f"# baseline measurement failed: {e!r}", flush=True)
-            baseline = None
-
-    variant = ""
-    if args.quantize_dense:
-        variant = ", int8 dense"
-    elif args.params_dtype != "float32":
-        variant = f", {args.params_dtype} params"
-    result = {
-        "metric": f"policy rollout throughput, {args.width}x-width foundation arch, {args.streams} streams, KV cache{variant}",
-        "value": round(fps, 2),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / baseline, 2) if baseline else None,
-        **roofline_fields(fps, fpf, ceiling),
-    }
-    print(json.dumps(result))
+    print(json.dumps(result_rollout(
+        ceiling, width=args.width, streams=args.streams,
+        compute_dtype=args.compute_dtype, params_dtype=args.params_dtype,
+        quantize_dense=args.quantize_dense, remeasure=args.remeasure_baseline,
+    )))
 
 
 if __name__ == "__main__":
