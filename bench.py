@@ -31,6 +31,12 @@ import numpy as np
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 
 N_STREAMS = 64
+# Best 3x serving geometry from the round-3 stream-axis sweep (docs/ROADMAP.md
+# "Stream-axis sweep"): 2x peaks at 64 streams (6520 fps) and degrades
+# monotonically beyond; 3x gains +9.7% at 128 (2637 fps — the wider trunk is
+# more weight-read-bound per stream, so doubling the streams amortizes weight
+# reads) and saturates there (256 ≈ 128 within noise).
+N_STREAMS_3X = 128
 WARMUP_STEPS = 5
 MEASURE_STEPS = 60
 
@@ -433,7 +439,8 @@ def result_idm(ceiling, compute_dtype="bfloat16", quantize_dense=False):
 
 def result_bc(ceiling, width=1, compute_dtype="bfloat16", chunk=None):
     if chunk is None:
-        chunk = 128
+        # the README-pinned configs: 1x at T=32, flagship T=128 from 2x up
+        chunk = 128 if width >= 2 else 32
     fps, fpf, h2d = bench_bc_train(compute_dtype=compute_dtype, width=width, chunk=chunk)
     out = {
         "metric": f"{width}x BC training throughput (T={chunk}), sequence-chunked DP, pipelined input",
@@ -465,7 +472,8 @@ def result_suite(ceiling, args):
         finally:
             gc.collect()
 
-    headline = guarded(result_rollout, ceiling, width=3, streams=args.streams,
+    streams_3x = args.streams if args.streams != N_STREAMS else N_STREAMS_3X
+    headline = guarded(result_rollout, ceiling, width=3, streams=streams_3x,
                        compute_dtype=args.compute_dtype, remeasure=args.remeasure_baseline)
     suite = {
         "rollout_2x": guarded(result_rollout, ceiling, width=2, streams=args.streams,
