@@ -13,8 +13,17 @@ from vpt_tpu.agent import MineRLAgent
 from vpt_tpu.checkpoint import load_model_parameters
 
 
-def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=True):
+def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=True,
+         mesh_dp=0):
     policy_kwargs, pi_head_kwargs = load_model_parameters(model)
+
+    mesh = None
+    if mesh_dp:
+        # multi-chip serving: params replicated, stream axis + KV caches
+        # sharded over dp (agent/agent.py mesh=)
+        from vpt_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dp=mesh_dp)
 
     if mock_env:
         from vpt_tpu.agent.rollout import (
@@ -34,6 +43,7 @@ def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=Tr
             pi_head_kwargs=pi_head_kwargs,
             batch_size=streams // groups,
             compute_dtype="bfloat16" if streams > 1 else "float32",
+            mesh=mesh,
         )
         agent.load_weights(weights)
         print("---Running mock rollout---")
@@ -67,7 +77,8 @@ def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=Tr
 
     env = HumanSurvival(**ENV_KWARGS).make()
     print("---Loading model---")
-    agent = MineRLAgent(env, policy_kwargs=policy_kwargs, pi_head_kwargs=pi_head_kwargs)
+    agent = MineRLAgent(env, policy_kwargs=policy_kwargs, pi_head_kwargs=pi_head_kwargs,
+                        mesh=mesh)
     agent.load_weights(weights)
 
     print("---Launching MineRL environment (be patient)---")
@@ -87,7 +98,10 @@ if __name__ == "__main__":
     parser.add_argument("--streams", type=int, default=1, help="Parallel env streams (batched rollout runtime).")
     parser.add_argument("--groups", type=int, default=0,
                         help="Pipelined stream groups (0 = auto; 1 disables pipelining).")
+    parser.add_argument("--mesh-dp", type=int, default=0,
+                        help="Shard the stream axis + KV caches over an N-device dp mesh "
+                             "(multi-chip serving; 0 = single device).")
 
     args = parser.parse_args()
     main(args.model, args.weights, mock_env=args.mock_env, steps=args.steps,
-         streams=args.streams, groups=args.groups)
+         streams=args.streams, groups=args.groups, mesh_dp=args.mesh_dp)
