@@ -28,21 +28,39 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
          updates=50, rollout_len=40, learning_rate=3e-5, kl_coef=0.2,
          compute_dtype="bfloat16", metrics_path=None, checkpoint_dir=None,
          checkpoint_every=0, resume=False, aux_phase_every=0, aux_epochs=4,
-         beta_clone=1.0, fsdp=1, tp=1):
-    hp = PPOHyperparams(
-        rollout_len=rollout_len,
-        learning_rate=learning_rate,
-        kl_coef=kl_coef,
-        n_minibatches=2 if streams % 2 == 0 else 1,
-        aux_phase_every=aux_phase_every,
-        aux_epochs=aux_epochs,
-        beta_clone=beta_clone,
-    )
+         beta_clone=1.0, fsdp=1, tp=1, collect_groups=0):
     mesh = None
     if fsdp > 1 or tp > 1:
         from vpt_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_fsdp=fsdp, n_tp=tp)
+    if collect_groups == 0:
+        # auto: pipeline collection as round-robin groups when they divide
+        # the stream axis AND the per-group batch still divides over the
+        # mesh's data axes (measured +98% collect throughput, docs/ROADMAP.md)
+        import numpy as _np
+
+        from vpt_tpu.parallel.mesh import make_mesh as _mm
+
+        m = mesh if mesh is not None else _mm()
+        n_data = int(_np.prod([m.shape[a] for a in ("dp", "fsdp") if a in m.axis_names]))
+        if mesh is None:
+            mesh = m  # reuse: a second make_mesh() would re-derive identically
+        collect_groups = 1
+        for g in (4, 2):
+            if streams % g == 0 and streams >= 2 * g and (streams // g) % max(n_data, 1) == 0:
+                collect_groups = g
+                break
+    hp = PPOHyperparams(
+        rollout_len=rollout_len,
+        learning_rate=learning_rate,
+        kl_coef=kl_coef,
+        n_minibatches=2 if streams % 2 == 0 else 1,
+        n_collect_groups=collect_groups,
+        aux_phase_every=aux_phase_every,
+        aux_epochs=aux_epochs,
+        beta_clone=beta_clone,
+    )
     trainer = PPOTrainer.from_files(
         in_model, in_weights, hp=hp, compute_dtype=compute_dtype, mesh=mesh
     )
@@ -58,8 +76,9 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
         envs = [gym.make("MineRLBasaltFindCave-v0") for _ in range(streams)]
         reward_fn = None  # the env's own reward
 
-    print(f"---Running PPO: {streams} streams × {rollout_len} steps/update, "
-          f"{updates} updates, KL anchor ρ₀={kl_coef}---")
+    print(f"---Running PPO: {streams} streams × {rollout_len} steps/update "
+          f"({hp.n_collect_groups} collection group(s)), {updates} updates, "
+          f"KL anchor ρ₀={kl_coef}---")
     report = trainer.train(
         envs, updates, out_weights=out_weights, reward_fn=reward_fn,
         metrics=MetricsLogger(path=metrics_path),
@@ -91,6 +110,10 @@ if __name__ == "__main__":
     parser.add_argument("--fsdp", type=int, default=1,
                         help="ZeRO-3 axis size: shard policy + anchor + Adam moments over this many chips.")
     parser.add_argument("--tp", type=int, default=1, help="Tensor-parallel axis size.")
+    parser.add_argument("--collect-groups", type=int, default=0,
+                        help="Round-robin collection groups pipelining host work "
+                             "against device steps (0 = auto: 4 when they divide "
+                             "the streams; 1 = serial).")
     args = parser.parse_args()
     main(
         args.in_model, args.in_weights, args.out_weights, mock_env=args.mock_env,
@@ -100,5 +123,5 @@ if __name__ == "__main__":
         checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
         resume=args.resume, aux_phase_every=args.aux_phase_every,
         aux_epochs=args.aux_epochs, beta_clone=args.beta_clone,
-        fsdp=args.fsdp, tp=args.tp,
+        fsdp=args.fsdp, tp=args.tp, collect_groups=args.collect_groups,
     )

@@ -21,6 +21,13 @@ def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=Tr
     if mesh_dp:
         # multi-chip serving: params replicated, stream axis + KV caches
         # sharded over dp (agent/agent.py mesh=)
+        if not mock_env and mesh_dp > 1:
+            raise SystemExit(
+                "--mesh-dp > 1 needs a stream axis to shard: the interactive "
+                "MineRL path drives ONE env.  Use --mock-env --streams N "
+                "(N divisible by mesh-dp), or batch real envs via MineRLAgent "
+                "directly."
+            )
         from vpt_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_dp=mesh_dp)
@@ -34,9 +41,19 @@ def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=Tr
 
         # pipelined serving by default: round-robin groups hide the device
         # round trip behind host work (0 = auto: 4 groups when they divide
-        # the streams, else single-group)
+        # the streams, else single-group; with --mesh-dp the per-group batch
+        # must also divide over the dp axis)
         if groups == 0:
-            groups = 4 if streams % 4 == 0 and streams >= 8 else 1
+            for g in (4, 2, 1):
+                if streams % g == 0 and (streams // g) % max(mesh_dp, 1) == 0 \
+                        and (g == 1 or streams >= 2 * g):
+                    groups = g
+                    break
+        if mesh_dp and (streams // groups) % mesh_dp != 0:
+            raise SystemExit(
+                f"streams/groups = {streams // groups} must divide over the "
+                f"{mesh_dp}-device dp mesh; adjust --streams or --groups"
+            )
         print(f"---Loading model (mock env, {streams} stream{'s' if streams > 1 else ''}, {groups} group{'s' if groups > 1 else ''})---")
         agent = MineRLAgent(
             policy_kwargs=policy_kwargs,

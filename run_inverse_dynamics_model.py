@@ -71,7 +71,12 @@ def streaming_main(agent, video_path, json_data, n_frames, stride, window_batch,
                 break
             n_read += 1
             emit(labeler.feed(frame))
-        if max_frames is not None and n_read == max_frames and cap.read() is not None:
+        # container metadata answers "are there more frames?" without
+        # decoding one (nframes can be 0/unknown for some containers —
+        # fall back to a probe decode only then)
+        more = (cap.nframes > max_frames if (max_frames is not None and cap.nframes > 0)
+                else (cap.read() is not None if max_frames is not None else False))
+        if max_frames is not None and n_read == max_frames and more:
             print(f"WARNING: stopped at --n-batches cap ({max_frames} frames) "
                   f"before end of video; omit --n-batches to label the whole recording.")
         emit(labeler.finish())

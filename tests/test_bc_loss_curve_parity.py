@@ -170,7 +170,10 @@ def test_bc_loss_curve_matches_reference_trainer(tmp_path, monkeypatch):
 
     random.seed(0)  # the reference loader's epoch shuffle
     th.manual_seed(0)
-    ref_bc.behavioural_cloning_train(str(tmp_path), in_model, in_weights, out_weights)
+    # test_torch_parity disables grads globally at import; the reference
+    # trainer needs autograd on, regardless of suite ordering
+    with th.enable_grad():
+        ref_bc.behavioural_cloning_train(str(tmp_path), in_model, in_weights, out_weights)
 
     n_batches = len(teed)
     assert n_batches >= 20, f"fixture too small for a ≥20-step curve ({n_batches})"

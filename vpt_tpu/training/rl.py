@@ -179,8 +179,7 @@ class PPOTrainer:
         self.opt_state = None
         self.kl_coef = self.hp.kl_coef
         self.update_count = 0
-        self.hidden_state = None
-        self._group_states = None   # grouped-collection recurrent state
+        self._group_states = None   # per-group recurrent state (collection)
         self._aux_buffer: List[Dict[str, Any]] = []  # PPG: rollouts since last aux phase
         self._act = self._build_act()
         self._anchor_forward = self._build_anchor_forward()
@@ -290,110 +289,34 @@ class PPOTrainer:
             envs emit none — the VPT RL phase defines its own).
         """
         self.init()
-        if self.hp.n_collect_groups > 1:
-            return self._collect_grouped(envs, obs, firsts, reward_fn)
-        b, t_len = len(envs), self.hp.rollout_len
-        if obs is None:
-            obs = [e.reset() for e in envs]
-            firsts = np.ones(b, bool)
-            self.hidden_state = None
-        if self.hidden_state is None:
-            # collection steps at t=1: use the ring decode cache (one slot
-            # write per step) instead of the linear concat+slice layout that
-            # re-materializes 2·(B, maxlen, E) per block per step
-            ring = self.cfg.recurrence_type == "transformer"
-            state = policy_initial_state(self.cfg, b, ring=ring)
-            sh, repl = batch_sharded(self.mesh), replicated(self.mesh)
-            self.hidden_state = jax.tree.map(
-                lambda x: jax.device_put(x, repl if x.ndim == 0 else sh), state
-            )
-        if firsts is None:
-            firsts = np.zeros(b, bool)
-
-        # window-start snapshot for the update's chunkwise re-forward: ring
-        # layout converts to linear (fresh buffers, so the donated act step
-        # can't invalidate it); non-ring states deep-copy for the same reason
-        if (
-            self.hidden_state is not None
-            and isinstance(self.hidden_state[0], dict)
-            and "idx" in self.hidden_state[0]
-        ):
-            from vpt_tpu.models.transformer import ring_state_to_linear
-
-            initial_state = [ring_state_to_linear(s) for s in self.hidden_state]
-        else:
-            initial_state = jax.tree.map(jnp.copy, self.hidden_state)
-        buf = {
-            "frames": np.zeros((b, t_len) + tuple(self.cfg.img_shape), np.uint8),
-            "buttons": np.zeros((b, t_len), np.int32),
-            "camera": np.zeros((b, t_len), np.int32),
-            "logp_old": np.zeros((b, t_len), np.float32),
-            "values": np.zeros((b, t_len), np.float32),
-            "rewards": np.zeros((b, t_len), np.float32),
-            "firsts": np.zeros((b, t_len), bool),
-        }
-        data_sh = batch_sharded(self.mesh)
-        for t in range(t_len):
-            img = self._resize(obs)
-            buf["frames"][:, t] = img
-            buf["firsts"][:, t] = firsts
-            img_d = jax.device_put(img, data_sh)
-            first_d = jax.device_put(firsts, data_sh)
-            action, logp, vpred, self.hidden_state, self._rng = self._act(
-                self.variables, img_d, first_d, self.hidden_state, self._rng
-            )
-            # heads carry value_shape (1,): actions arrive (B, 1)
-            action = {k: np.asarray(v) for k, v in action.items()}
-            buf["buttons"][:, t] = action["buttons"][:, 0]
-            buf["camera"][:, t] = action["camera"][:, 0]
-            buf["logp_old"][:, t] = np.asarray(logp)
-            buf["values"][:, t] = np.asarray(vpred)
-            env_actions = self._agent_action_to_env(action)
-            next_firsts = np.zeros(b, bool)
-            for i, env in enumerate(envs):
-                env_action = {k: v[i] for k, v in env_actions.items()}
-                ob, reward, done, _info = env.step(env_action)
-                if reward_fn is not None:
-                    reward = reward_fn(env_action, ob, reward, done)
-                buf["rewards"][i, t] = reward
-                if done:
-                    ob = env.reset()
-                    next_firsts[i] = True
-                obs[i] = ob
-            firsts = next_firsts
-
-        # bootstrap value of the next (uncollected) observation; the hidden
-        # state must NOT advance past the window, so feed act a COPY (act
-        # donates its state argument) and discard the state_out
-        img_d = jax.device_put(self._resize(obs), data_sh)
-        first_d = jax.device_put(firsts, data_sh)
-        _, _, last_value, _, self._rng = self._act(
-            self.variables, img_d, first_d,
-            jax.tree.map(jnp.copy, self.hidden_state), self._rng
-        )
-        buf["last_value"] = np.asarray(last_value)
-        buf["last_first"] = firsts.copy()
-        buf["initial_state"] = initial_state
-        return buf, obs, firsts
+        return self._collect_grouped(envs, obs, firsts, reward_fn)
 
     def _collect_grouped(self, envs: List, obs: Optional[List],
                          firsts: Optional[np.ndarray],
                          reward_fn: Optional[Callable]):
         """Pipelined collection: G round-robin stream groups through the one
-        compiled act step.  While group g's (action, logp, vpred) transfer
+        compiled act step (G = 1 is plain serial collection — same code
+        path, one group).  While group g's (action, logp, vpred) transfer
         back and its envs step on the host, groups g+1…G-1's device steps are
         already in flight — on a remote-attached chip this hides the D2H
         round trip; on a real host it hides env stepping and resize.
 
-        The trajectory buffer is identical in layout to the serial path:
-        group g owns stream rows [g·gb, (g+1)·gb); per-group window-start
-        snapshots concatenate into the single (B, …) ``initial_state`` the
-        chunkwise update re-forwards from."""
+        Buffer layout is group-count-invariant: group g owns stream rows
+        [g·gb, (g+1)·gb); per-group window-start snapshots concatenate into
+        the single (B, …) ``initial_state`` the chunkwise update re-forwards
+        from."""
         hp = self.hp
-        G = hp.n_collect_groups
+        G = max(1, hp.n_collect_groups)
         b, t_len = len(envs), hp.rollout_len
         assert b % G == 0, (b, G)
         gb = b // G
+        n_data = int(np.prod([
+            self.mesh.shape[a] for a in ("dp", "fsdp") if a in self.mesh.axis_names
+        ]))
+        assert gb % max(n_data, 1) == 0, (
+            f"streams/groups = {gb} must divide over the mesh's {n_data} "
+            f"data-parallel devices (streams={b}, n_collect_groups={G})"
+        )
         data_sh = batch_sharded(self.mesh)
         repl = replicated(self.mesh)
         ring = self.cfg.recurrence_type == "transformer"
@@ -829,8 +752,7 @@ class PPOTrainer:
         self._rng = jnp.asarray(payload["rng_key"])
         self.kl_coef = float(data_state["kl_coef"])
         self.update_count = int(data_state["update_count"])
-        self.hidden_state = None  # envs restart; state re-initializes on collect
-        self._group_states = None
+        self._group_states = None  # envs restart; state re-initializes on collect
         return True
 
     # ------------------------------------------------------------------- run
