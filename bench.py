@@ -449,13 +449,15 @@ def result_idm(ceiling, compute_dtype="bfloat16", quantize_dense=False, window_b
     }
 
 
-def result_bc(ceiling, width=1, compute_dtype="bfloat16", chunk=None):
+def result_bc(ceiling, width=1, compute_dtype="bfloat16", chunk=None, batch=None):
     if chunk is None:
         # the README-pinned configs: 1x at T=32, flagship T=128 from 2x up
         chunk = 128 if width >= 2 else 32
-    fps, fpf, h2d = bench_bc_train(compute_dtype=compute_dtype, width=width, chunk=chunk)
+    batch = batch or 8  # the reference's BATCH_SIZE (behavioural_cloning.py:28)
+    fps, fpf, h2d = bench_bc_train(compute_dtype=compute_dtype, width=width,
+                                   chunk=chunk, batch=batch)
     out = {
-        "metric": f"{width}x BC training throughput (T={chunk}), sequence-chunked DP, pipelined input",
+        "metric": f"{width}x BC training throughput (B={batch}, T={chunk}), sequence-chunked DP, pipelined input",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": None,
@@ -491,12 +493,12 @@ def result_suite(ceiling, args):
         "rollout_2x": guarded(result_rollout, ceiling, width=2,
                               streams=args.streams or N_STREAMS,
                               compute_dtype=args.compute_dtype),
-        # 4 windows/forward is the measured-best labeling geometry: 2025
-        # fps at 83% MXU vs 1843 at 76% single-window (weight reads amortize
-        # over 512 frames; the StreamingIDMLabeler serves this shape via
-        # window_batch=4)
+        # 8 windows/forward is the measured-best labeling geometry (sweep:
+        # 1843/1927/2023/2152 fps at wb=1/2/4/8 — 75.6% → 88.3% MXU; weight
+        # reads amortize over 1024 frames; the StreamingIDMLabeler serves
+        # this shape via window_batch=8)
         "idm_4x": guarded(result_idm, ceiling, compute_dtype=args.compute_dtype,
-                          window_batch=4),
+                          window_batch=8),
         "bc_1x": guarded(result_bc, ceiling, width=1, compute_dtype=args.compute_dtype),
     }
     if "error" in headline:
@@ -519,6 +521,8 @@ def main():
                     help="ppo-collect: round-robin collection groups (pipelined when >1)")
     ap.add_argument("--window-batch", type=int, default=1,
                     help="idm: independent 128-frame windows stacked per forward")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="bc: training batch size (default 8, the reference's)")
     ap.add_argument("--width", type=int, default=None,
                     help="Foundation width multiple (1/2/3); default 2 for rollout, 1 for bc")
     ap.add_argument("--quantize-dense", action="store_true",
@@ -534,6 +538,7 @@ def main():
             ("--window-batch", args.window_batch != 1),
             ("--groups", args.groups != 1),
             ("--width", args.width is not None),
+            ("--batch", args.batch is not None),
         ] if on]
         if ignored:
             ap.error(f"{', '.join(ignored)} have no effect with --metric suite; "
@@ -579,7 +584,8 @@ def main():
         width = args.width or 1
         chunk = 128 if width >= 2 else 32
         print(json.dumps(result_bc(ceiling, width=width,
-                                   compute_dtype=args.compute_dtype, chunk=chunk)))
+                                   compute_dtype=args.compute_dtype, chunk=chunk,
+                                   batch=args.batch)))
         return
 
     if args.metric == "idm":

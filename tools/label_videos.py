@@ -4,7 +4,7 @@ This is the VPT pipeline's actual IDM use-case (reference README.md:81-99
 labels recordings so BC can train on unlabeled video) scaled to a corpus:
 one loaded agent labels every ``*.mp4`` under ``--video-dir`` through the
 overlap-stitched :class:`StreamingIDMLabeler` (every frame gets bidirectional
-context; ``--window-batch 4`` is the measured-best serving geometry, 83% MXU
+context; ``--window-batch 8`` is the measured-best serving geometry, 88% MXU
 — docs/ROADMAP.md "IDM window batching").
 
 Restartable by construction: each video writes ``<out-dir>/<id>.jsonl.tmp``
@@ -79,8 +79,8 @@ def main():
     ap.add_argument("--stride", type=int, default=64,
                     help="Window slide (< --n-frames overlap-stitches so every "
                          "label has bidirectional context).")
-    ap.add_argument("--window-batch", type=int, default=4,
-                    help="Windows labeled per forward (4 = measured-best MXU).")
+    ap.add_argument("--window-batch", type=int, default=8,
+                    help="Windows labeled per forward (8 = measured-best MXU).")
     ap.add_argument("--no-strict-resolution", action="store_true",
                     help="Accept videos that are not 640x360.")
     ap.add_argument("--no-resume", action="store_true",
