@@ -96,23 +96,35 @@ def main():
     agent = IDMAgent(idm_net_kwargs=net_kwargs, pi_head_kwargs=pi_head_kwargs)
     agent.load_weights(args.weights)
 
-    total_frames, t_start, skipped = 0, time.time(), 0
+    total_frames, t_start, skipped, failed = 0, time.time(), 0, []
     for i, vp in enumerate(videos):
         vid = os.path.splitext(os.path.basename(vp))[0]
         out_path = os.path.join(args.out_dir, vid + ".jsonl")
         if not args.no_resume and os.path.exists(out_path):
             skipped += 1
             continue
-        n, dt = label_one(agent, vp, out_path, args.n_frames, args.stride,
-                          args.window_batch,
-                          strict_resolution=not args.no_strict_resolution)
+        try:
+            n, dt = label_one(agent, vp, out_path, args.n_frames, args.stride,
+                              args.window_batch,
+                              strict_resolution=not args.no_strict_resolution)
+        except (IOError, AssertionError) as e:
+            # one bad recording must not kill a corpus job (same stance as
+            # the reference loader, data_loader.py:122-123); its .tmp stays
+            # behind so the failure is inspectable and the video retried
+            print(f"[{i + 1}/{len(videos)}] {vid}: FAILED — {e}", flush=True)
+            failed.append(vid)
+            continue
         total_frames += n
         print(f"[{i + 1}/{len(videos)}] {vid}: {n} frames in {dt:.1f}s "
               f"({n / max(dt, 1e-9):.1f} fps)", flush=True)
     dt_all = time.time() - t_start
-    done = len(videos) - skipped
-    print(f"Labeled {done} video(s) ({skipped} already done), {total_frames} frames "
-          f"in {dt_all:.1f}s → {total_frames / max(dt_all, 1e-9):.1f} frames/sec")
+    done = len(videos) - skipped - len(failed)
+    print(f"Labeled {done} video(s) ({skipped} already done, {len(failed)} failed), "
+          f"{total_frames} frames in {dt_all:.1f}s → "
+          f"{total_frames / max(dt_all, 1e-9):.1f} frames/sec")
+    if failed:
+        print("failed:", ", ".join(failed))
+        sys.exit(1)
 
 
 if __name__ == "__main__":
