@@ -249,3 +249,37 @@ def test_mesh_sharded_serving_matches_single_device(tmp_path):
                     np.asarray(a1[i][k]), np.asarray(a2[i][k]), err_msg=(step, i, k)
                 )
         obs = [_obs(seed=200 + 17 * step + i) for i in range(B)]
+
+
+def test_mesh_sharded_int8_serving_matches_single_device(tmp_path):
+    """The int8 fast path composes with multi-chip serving: quantization is
+    deterministic, so dp-sharded int8 serving must equal single-device int8
+    serving action-for-action."""
+    import jax
+
+    from vpt_tpu.checkpoint import save_weights
+    from vpt_tpu.parallel.mesh import make_mesh
+
+    B = 8
+    base = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs=PI_KWARGS,
+                       batch_size=B, seed=0, quantize_dense=True)
+    base._ensure_variables(quantize=False)
+    wpath = str(tmp_path / "w.weights")
+    save_weights(wpath, jax.tree.map(np.asarray, base.variables))
+    base.load_weights(wpath)
+
+    sharded = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs=PI_KWARGS,
+                          batch_size=B, seed=0, quantize_dense=True,
+                          mesh=make_mesh(n_dp=8))
+    sharded.load_weights(wpath)
+
+    obs = [_obs(seed=300 + i) for i in range(B)]
+    for step in range(2):
+        a1 = base.get_action(obs, stochastic=False)
+        a2 = sharded.get_action(obs, stochastic=False)
+        for i in range(B):
+            for k in a1[i]:
+                np.testing.assert_array_equal(
+                    np.asarray(a1[i][k]), np.asarray(a2[i][k]), err_msg=(step, i, k)
+                )
+        obs = [_obs(seed=400 + 7 * step + i) for i in range(B)]
