@@ -172,6 +172,77 @@ def test_lstm_recurrence():
     )
 
 
+def test_masked_lstm_matches_plain_lstm_on_chunk_start_reset():
+    """multi_masked_lstm shares the multi_layer_lstm parameterization and is
+    equal to it whenever `first` is only ever set at the chunk start (the only
+    case the plain variant handles; reference: lib/util.py:214-219).  The
+    reference names this recurrence type (lib/policy.py:90) but never
+    constructs a module for it — this path is net-new."""
+    cfg_plain = TINY.replace(recurrence_type="multi_layer_lstm")
+    cfg_masked = TINY.replace(recurrence_type="multi_masked_lstm")
+    plain = MinecraftAgentPolicy(cfg=cfg_plain, head_specs=SPECS, temperature=2.0)
+    masked = MinecraftAgentPolicy(cfg=cfg_masked, head_specs=SPECS, temperature=2.0)
+    img = _img(2, 4)
+    state = policy_initial_state(cfg_plain, 2)
+    variables = jax.jit(plain.init)(
+        jax.random.PRNGKey(0), jnp.array(img), jnp.zeros((2, 4), bool), state
+    )
+    first = jnp.concatenate([jnp.ones((2, 1), bool), jnp.zeros((2, 3), bool)], 1)
+    # Run both from a non-trivial carried state so the reset itself is tested.
+    _, state_mid = plain.apply(variables, jnp.array(img), jnp.zeros((2, 4), bool), state)
+    out_p, st_p = plain.apply(variables, jnp.array(img), first, state_mid)
+    out_m, st_m = masked.apply(variables, jnp.array(img), first, state_mid)
+    np.testing.assert_allclose(
+        np.asarray(out_p["pi_logits"]["buttons"]),
+        np.asarray(out_m["pi_logits"]["buttons"]),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(st_p[0]["h"]), np.asarray(st_m[0]["h"]), atol=1e-6)
+
+
+def test_masked_lstm_mid_window_reset_is_ragged_exact():
+    """A `first` flag anywhere inside the window must reproduce chunked
+    streaming exactly: forwarding [0..3] with first at t=2 for one batch
+    element equals forwarding [0..1] then [2..3] with that element's chunk-2
+    first set."""
+    cfg = TINY.replace(recurrence_type="multi_masked_lstm")
+    model = MinecraftAgentPolicy(cfg=cfg, head_specs=SPECS, temperature=2.0)
+    img = _img(2, 4)
+    state0 = policy_initial_state(cfg, 2)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.array(img), jnp.zeros((2, 4), bool), state0
+    )
+    # One ragged call: element 0 starts a new episode at t=2, element 1 never resets.
+    first = np.zeros((2, 4), bool)
+    first[0, 2] = True
+    out_ragged, st_ragged = model.apply(variables, jnp.array(img), jnp.array(first), state0)
+    # Streamed in two chunks with the same flags.
+    out_a, st_mid = model.apply(
+        variables, jnp.array(img[:, :2]), jnp.array(first[:, :2]), state0
+    )
+    out_b, st_fin = model.apply(
+        variables, jnp.array(img[:, 2:]), jnp.array(first[:, 2:]), st_mid
+    )
+    got = np.concatenate(
+        [np.asarray(out_a["pi_logits"]["buttons"]), np.asarray(out_b["pi_logits"]["buttons"])], axis=1
+    )
+    np.testing.assert_allclose(np.asarray(out_ragged["pi_logits"]["buttons"]), got, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_ragged[0]["c"]), np.asarray(st_fin[0]["c"]), atol=1e-6)
+    # And the reset is real: element 0's logits at t>=2 differ from the
+    # unreset forward, element 1's do not.
+    out_nores, _ = model.apply(variables, jnp.array(img), jnp.zeros((2, 4), bool), state0)
+    d0 = np.abs(
+        np.asarray(out_ragged["pi_logits"]["buttons"][0, 2:])
+        - np.asarray(out_nores["pi_logits"]["buttons"][0, 2:])
+    ).max()
+    d1 = np.abs(
+        np.asarray(out_ragged["pi_logits"]["buttons"][1])
+        - np.asarray(out_nores["pi_logits"]["buttons"][1])
+    ).max()
+    assert d0 > 1e-7
+    np.testing.assert_allclose(d1, 0.0, atol=1e-7)
+
+
 def test_bilstm_recurrence():
     """multi_layer_bilstm: even-numbered blocks run their LSTM reversed
     (reference: lib/util.py:198-201, 221-225)."""

@@ -351,7 +351,9 @@ class ResidualRecurrentBlock(nn.Module):
                 attention_impl=self.attention_impl,
                 quantize_dense=self.quantize_dense,
             )
-        elif self.recurrence_type in ("multi_layer_lstm", "multi_layer_bilstm"):
+        elif self.recurrence_type in (
+            "multi_layer_lstm", "multi_layer_bilstm", "multi_masked_lstm"
+        ):
             self.r = nn.OptimizedLSTMCell(
                 self.hidsize, dtype=self.dtype, param_dtype=jnp.float32
             )
@@ -379,6 +381,30 @@ class ResidualRecurrentBlock(nn.Module):
         return x, state_out
 
     def _lstm_forward(self, x_bte, first_bt, state, reverse_lstm):
+        if self.recurrence_type == "multi_masked_lstm":
+            # Ragged batching: the carry resets at EVERY timestep whose
+            # `first` flag is set, not just at chunk starts — episodes may
+            # begin anywhere inside the window.  The reference names this
+            # type (reference: lib/policy.py:90 "multi_masked_lstm ...
+            # supports ragged batching via the first vector") but its
+            # ResidualRecurrentBlock never constructs a module for it
+            # (lib/util.py:174-191), so this path is net-new capability,
+            # mirroring the per-timestep resets our chunked attention
+            # already has (ops/masks.py).
+            def body(cell, carry, inp):
+                xt, first_t = inp
+                keep = (1.0 - first_t.astype(jnp.float32))[:, None]
+                c, h = carry
+                return cell((c * keep, h * keep), xt)
+
+            scan = nn.scan(
+                body, variable_broadcast="params", split_rngs={"params": False},
+                in_axes=1, out_axes=1,
+            )
+            carry, ys = scan(self.r, (state["c"], state["h"]), (x_bte, first_bt))
+            c_fin, h_fin = carry
+            return ys, {"h": h_fin, "c": c_fin}
+
         # Zero the carried state at chunk starts flagged `first`
         # (reference: lib/util.py:214-219).
         keep = (1.0 - first_bt[:, 0].astype(jnp.float32))[:, None]
