@@ -247,10 +247,16 @@ def bench_idm(window: int = 128, n_windows: int = 4, compute_dtype: str = "bfloa
 
 
 def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
-                   compute_dtype: str = "bfloat16", width: int = 1):
+                   compute_dtype: str = "bfloat16", width: int = 1,
+                   remat: bool = None):
     """Sequence-chunked BC training throughput (frames/sec) for the
     foundation architecture at ``width`` (BASELINE.json config #4's compute
-    core).  width≥2 at chunk 128 needs CNN scan-chunking to fit 16 GB."""
+    core).  width≥2 at chunk 128 needs CNN scan-chunking to fit 16 GB.
+
+    ``remat`` defaults by geometry: the 1x/T=32 step fits HBM with all
+    activations saved, and dropping remat is worth +18% measured (4356 →
+    5130 fps — the rematerialized forward is pure recompute overhead);
+    wider configs need the memory back."""
     import jax
 
     from vpt_tpu.config import FOUNDATION_POLICY_KWARGS
@@ -263,8 +269,10 @@ def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
     # ~8.5 GB of f32 Adam state resident) even 256-frame steps need the CNN
     # sequentialized to fit 16 GB HBM
     scan_chunks = 8 if (width >= 3 or (width >= 2 and batch * chunk >= 512)) else 0
+    if remat is None:
+        remat = width >= 2
     trainer = BCTrainer(kwargs, {"temperature": 2.0}, hp=hp,
-                        mesh=make_mesh(), compute_dtype=compute_dtype, remat=True,
+                        mesh=make_mesh(), compute_dtype=compute_dtype, remat=remat,
                         cnn_scan_chunks=scan_chunks)
     trainer.init()
     rng = np.random.default_rng(0)
@@ -449,13 +457,14 @@ def result_idm(ceiling, compute_dtype="bfloat16", quantize_dense=False, window_b
     }
 
 
-def result_bc(ceiling, width=1, compute_dtype="bfloat16", chunk=None, batch=None):
+def result_bc(ceiling, width=1, compute_dtype="bfloat16", chunk=None, batch=None,
+              remat=None):
     if chunk is None:
         # the README-pinned configs: 1x at T=32, flagship T=128 from 2x up
         chunk = 128 if width >= 2 else 32
     batch = batch or 8  # the reference's BATCH_SIZE (behavioural_cloning.py:28)
     fps, fpf, h2d = bench_bc_train(compute_dtype=compute_dtype, width=width,
-                                   chunk=chunk, batch=batch)
+                                   chunk=chunk, batch=batch, remat=remat)
     out = {
         "metric": f"{width}x BC training throughput (B={batch}, T={chunk}), sequence-chunked DP, pipelined input",
         "value": round(fps, 2),
@@ -523,6 +532,9 @@ def main():
                     help="idm: independent 128-frame windows stacked per forward")
     ap.add_argument("--batch", type=int, default=None,
                     help="bc: training batch size (default 8, the reference's)")
+    ap.add_argument("--remat", default="auto", choices=["auto", "on", "off"],
+                    help="bc: activation rematerialization (auto = off at 1x "
+                         "where everything fits HBM, on from 2x up)")
     ap.add_argument("--width", type=int, default=None,
                     help="Foundation width multiple (1/2/3); default 2 for rollout, 1 for bc")
     ap.add_argument("--quantize-dense", action="store_true",
@@ -539,6 +551,7 @@ def main():
             ("--groups", args.groups != 1),
             ("--width", args.width is not None),
             ("--batch", args.batch is not None),
+            ("--remat", args.remat != "auto"),
         ] if on]
         if ignored:
             ap.error(f"{', '.join(ignored)} have no effect with --metric suite; "
@@ -583,9 +596,10 @@ def main():
     if args.metric == "bc":
         width = args.width or 1
         chunk = 128 if width >= 2 else 32
+        remat = {"auto": None, "on": True, "off": False}[args.remat]
         print(json.dumps(result_bc(ceiling, width=width,
                                    compute_dtype=args.compute_dtype, chunk=chunk,
-                                   batch=args.batch)))
+                                   batch=args.batch, remat=remat)))
         return
 
     if args.metric == "idm":
