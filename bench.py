@@ -253,10 +253,17 @@ def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
     foundation architecture at ``width`` (BASELINE.json config #4's compute
     core).  width≥2 at chunk 128 needs CNN scan-chunking to fit 16 GB.
 
-    ``remat`` defaults by geometry: the 1x/T=32 step fits HBM with all
-    activations saved, and dropping remat is worth +18% measured (4356 →
-    5130 fps — the rematerialized forward is pure recompute overhead);
-    wider configs need the memory back."""
+    ``remat`` defaults by geometry: at B·T=256 frames the step fits HBM at
+    every width with ALL activations saved, and dropping remat+scan is pure
+    recompute savings — measured +18% at 1x (4356 → 5130 fps), +22% at 2x
+    (1749 → 2128), +33% at 3x (785 → 1044, despite the 0.5B model's ~8.5 GB
+    f32 Adam state resident).  B·T=1024 (the T=128 chunks) does NOT fit
+    un-remat'd at 2x (XLA asks 63.5 GB of 15.75 GB HBM) and keeps the
+    body-remat'd CNN scan.  Selective remat was also measured and LOST:
+    saving the coarse (≤32×32) CNN feature maps as backward residuals was
+    -1..-4% everywhere, and un-remat'ing only the transformer blocks was
+    within noise — when the step doesn't fit, full remat is the fastest
+    fit-making policy on this chip; when it fits, save everything."""
     import jax
 
     from vpt_tpu.config import FOUNDATION_POLICY_KWARGS
@@ -265,12 +272,14 @@ def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
 
     kwargs = dict(FOUNDATION_POLICY_KWARGS, hidsize=1024 * width, impala_width=4 * width)
     hp = BCHyperparams(batch_size=batch, chunk_len=chunk)
-    # CNN activation memory scales with width² per frame; at 3x (0.5B params,
-    # ~8.5 GB of f32 Adam state resident) even 256-frame steps need the CNN
-    # sequentialized to fit 16 GB HBM
-    scan_chunks = 8 if (width >= 3 or (width >= 2 and batch * chunk >= 512)) else 0
+    # Measured fit boundary: activation memory is ~linear in frame count B·T
+    # and in width (CNN channel count), so `frames · width` is the proxy.
+    # Fits un-remat'd (measured): 1x at B·T=1024 (B=32/T=32 → 5485 fps),
+    # 2x and 3x at B·T=256.  Does not fit: 2x at B·T=1024 (63.5 GB asked).
+    small = batch * chunk * width <= 1024
+    scan_chunks = 0 if small else 8
     if remat is None:
-        remat = width >= 2
+        remat = not small
     trainer = BCTrainer(kwargs, {"temperature": 2.0}, hp=hp,
                         mesh=make_mesh(), compute_dtype=compute_dtype, remat=remat,
                         cnn_scan_chunks=scan_chunks)
@@ -327,7 +336,7 @@ def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
 
     flops = trainer.train_step_flops(placed[0], state)
     fps = batch * chunk * steps / dt
-    return fps, (flops / (batch * chunk) if flops else None), h2d_seconds
+    return fps, (flops / (batch * chunk) if flops else None), h2d_seconds, scan_chunks
 
 
 def bench_rollout_e2e(n_streams: int = N_STREAMS, width: int = 2,
@@ -463,8 +472,8 @@ def result_bc(ceiling, width=1, compute_dtype="bfloat16", chunk=None, batch=None
         # the README-pinned configs: 1x at T=32, flagship T=128 from 2x up
         chunk = 128 if width >= 2 else 32
     batch = batch or 8  # the reference's BATCH_SIZE (behavioural_cloning.py:28)
-    fps, fpf, h2d = bench_bc_train(compute_dtype=compute_dtype, width=width,
-                                   chunk=chunk, batch=batch, remat=remat)
+    fps, fpf, h2d, scan_chunks = bench_bc_train(compute_dtype=compute_dtype, width=width,
+                                                chunk=chunk, batch=batch, remat=remat)
     out = {
         "metric": f"{width}x BC training throughput (B={batch}, T={chunk}), sequence-chunked DP, pipelined input",
         "value": round(fps, 2),
@@ -473,7 +482,7 @@ def result_bc(ceiling, width=1, compute_dtype="bfloat16", chunk=None, batch=None
         "h2d_seconds_per_batch": round(h2d, 3),
         **roofline_fields(fps, fpf, ceiling),
     }
-    if width >= 2:
+    if scan_chunks:
         # XLA cost analysis counts a scanned (While) body once, so the
         # CNN-scan-chunked config underreports FLOPs/frame and utilization
         out["flops_note"] = "underreported: scanned CNN body counted once by cost analysis"
@@ -532,9 +541,12 @@ def main():
                     help="idm: independent 128-frame windows stacked per forward")
     ap.add_argument("--batch", type=int, default=None,
                     help="bc: training batch size (default 8, the reference's)")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="bc: sequence chunk length T (default 128 from 2x up, else 32)")
     ap.add_argument("--remat", default="auto", choices=["auto", "on", "off"],
-                    help="bc: activation rematerialization (auto = off at 1x "
-                         "where everything fits HBM, on from 2x up)")
+                    help="bc: activation rematerialization (auto = by the "
+                         "measured fit boundary: off at B*T<=256 frames where "
+                         "the step fits HBM at every width, on above)")
     ap.add_argument("--width", type=int, default=None,
                     help="Foundation width multiple (1/2/3); default 2 for rollout, 1 for bc")
     ap.add_argument("--quantize-dense", action="store_true",
@@ -595,10 +607,9 @@ def main():
 
     if args.metric == "bc":
         width = args.width or 1
-        chunk = 128 if width >= 2 else 32
         remat = {"auto": None, "on": True, "off": False}[args.remat]
         print(json.dumps(result_bc(ceiling, width=width,
-                                   compute_dtype=args.compute_dtype, chunk=chunk,
+                                   compute_dtype=args.compute_dtype, chunk=args.chunk,
                                    batch=args.batch, remat=remat)))
         return
 

@@ -13,14 +13,10 @@ from argparse import ArgumentParser
 import numpy as np
 
 from vpt_tpu.actions import json_action_to_env_action
-from vpt_tpu.agent import IDMAgent
+from vpt_tpu.agent import IDMAgent, IDM_REQUIRED_RESOLUTION as REQUIRED_RESOLUTION, action_jsonl_row
 from vpt_tpu.checkpoint import load_model_parameters
 from vpt_tpu.data.loader import _load_jsonl
 from vpt_tpu.data.video import VideoReader
-
-# Resolution the published IDM expects (reference: agent.py:52,
-# run_inverse_dynamics_model.py:137,155)
-REQUIRED_RESOLUTION = (640, 360)
 
 
 def streaming_main(agent, video_path, json_data, n_frames, stride, window_batch,
@@ -44,7 +40,7 @@ def streaming_main(agent, video_path, json_data, n_frames, stride, window_batch,
         nonlocal total
         for idx, action in labels:
             total += 1
-            row = {name: np.asarray(v).tolist() for name, v in action.items()}
+            row = action_jsonl_row(action)
             if out_f:
                 out_f.write(json.dumps({"frame": idx, "action": row}) + "\n")
             if meter is not None and idx < len(json_data):
@@ -149,10 +145,8 @@ def main(model, weights, video_path, json_path, n_batches, n_frames, out=None,
             total_frames += len(frames)
 
             for i in range(len(frames)):
-                row = {
-                    name: np.asarray(arr[0, i]).tolist()
-                    for name, arr in predicted_actions.items()
-                }
+                row = action_jsonl_row(
+                    {name: arr[0, i] for name, arr in predicted_actions.items()})
                 if out_f:
                     out_f.write(json.dumps({"frame": total_frames - len(frames) + i, "action": row}) + "\n")
                 if meter is not None and i < len(recorded_actions):

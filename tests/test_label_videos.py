@@ -87,6 +87,7 @@ def test_directory_labeling_and_resume(tmp_path):
         return 0, 0.0
 
     old_argv = sys.argv
+    old_load_params, old_idm_agent = tool.load_model_parameters, tool.IDMAgent
     sys.argv = argv
     try:
         tool.load_model_parameters = lambda p: (IDM_TINY, {"temperature": 1.0})
@@ -99,4 +100,6 @@ def test_directory_labeling_and_resume(tmp_path):
         sys.argv = old_argv
         agent.load_weights = agent_load
         tool.label_one = label_one
+        tool.load_model_parameters = old_load_params
+        tool.IDMAgent = old_idm_agent
     assert calls["n"] == 0  # both outputs exist → nothing re-labeled

@@ -30,11 +30,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-from vpt_tpu.agent import IDMAgent, StreamingIDMLabeler  # noqa: E402
+from vpt_tpu.agent import (IDMAgent, StreamingIDMLabeler,  # noqa: E402
+                           IDM_REQUIRED_RESOLUTION as REQUIRED_RESOLUTION,
+                           action_jsonl_row)
 from vpt_tpu.checkpoint import load_model_parameters  # noqa: E402
 from vpt_tpu.data.video import VideoReader  # noqa: E402
-
-REQUIRED_RESOLUTION = (640, 360)  # reference: run_inverse_dynamics_model.py:155
 
 
 def label_one(agent, video_path, out_path, window, stride, window_batch,
@@ -55,7 +55,7 @@ def label_one(agent, video_path, out_path, window, stride, window_batch,
 
         def emit(labels):
             for idx, action in labels:
-                row = {name: np.asarray(v).tolist() for name, v in action.items()}
+                row = action_jsonl_row(action)
                 out.write(json.dumps({"frame": idx, "action": row}) + "\n")
 
         while True:
@@ -95,6 +95,14 @@ def main():
     net_kwargs, pi_head_kwargs = load_model_parameters(args.model)
     agent = IDMAgent(idm_net_kwargs=net_kwargs, pi_head_kwargs=pi_head_kwargs)
     agent.load_weights(args.weights)
+
+    # Fail fast on labeler CONFIG errors (window > model timesteps, stride
+    # out of range): the constructor's validation would otherwise fire
+    # identically inside label_one for every video, turning one mistake
+    # into N per-video FAILED lines.  The per-video try below then only
+    # absorbs genuinely per-video failures (decode errors, bad resolution).
+    StreamingIDMLabeler(agent, window=args.n_frames, stride=args.stride,
+                        window_batch=args.window_batch)
 
     total_frames, t_start, skipped, failed = 0, time.time(), 0, []
     for i, vp in enumerate(videos):

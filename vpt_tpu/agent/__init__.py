@@ -1,5 +1,7 @@
 from vpt_tpu.agent.agent import MineRLAgent, AGENT_RESOLUTION, ENV_KWARGS, validate_env
-from vpt_tpu.agent.idm import IDMAgent, StreamingIDMLabeler
+from vpt_tpu.agent.idm import (IDMAgent, StreamingIDMLabeler,
+                               IDM_REQUIRED_RESOLUTION, action_jsonl_row)
 
 __all__ = ["MineRLAgent", "IDMAgent", "StreamingIDMLabeler", "AGENT_RESOLUTION",
-           "ENV_KWARGS", "validate_env"]
+           "ENV_KWARGS", "validate_env", "IDM_REQUIRED_RESOLUTION",
+           "action_jsonl_row"]

@@ -73,16 +73,11 @@ class IDMAgent:
         return jax.jit(forward)
 
     def _input_shape(self):
-        """Raw video input is ALWAYS (h, w, 3): in the reference's kwargs
-        convention ``img_shape[2]`` declares the IMPALA input — i.e. the
-        conv3d front end's OUTPUT channels (the published 4x IDM ships
-        img_shape=[128, 128, 128]) — not the video's.  Init templates built
-        from img_shape would give the conv3d kernel the wrong fan-in and
-        strict=False weight loading would silently drop it."""
-        h, w, c = self.cfg.img_shape
-        if self.cfg.conv3d_params:
-            c = int(self.cfg.conv3d_params.get("inchan", 3))
-        return (h, w, c)
+        """Raw (h, w, c) video input shape (NOT img_shape, whose channel slot
+        declares the conv3d OUTPUT count — see models/policy.py)."""
+        from vpt_tpu.models.policy import idm_input_shape
+
+        return idm_input_shape(self.cfg)
 
     def _ensure_variables(self, t: int = 2):
         if self.variables is None:
@@ -308,3 +303,18 @@ class StreamingIDMLabeler:
             )
             self._emitted = self._n_fed
         return out
+
+
+# Resolution the published IDM expects its source videos at (reference:
+# run_inverse_dynamics_model.py:155 asserts 640x360 before labeling).
+IDM_REQUIRED_RESOLUTION = (640, 360)
+
+
+def action_jsonl_row(action: Dict[str, Any]) -> Dict[str, Any]:
+    """The on-disk schema for one labeled action: env-action arrays as plain
+    lists, ready for ``json.dumps({"frame": i, "action": row})``.
+
+    The single definition shared by ``run_inverse_dynamics_model.py --out``
+    and ``tools/label_videos.py`` so the corpus tool can never diverge from
+    the single-video CLI."""
+    return {name: np.asarray(v).tolist() for name, v in action.items()}

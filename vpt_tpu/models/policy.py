@@ -454,3 +454,18 @@ def policy_initial_state(cfg: PolicyConfig, batchsize: int, ring: bool = False):
         }
         for _ in range(cfg.n_recurrence_layers)
     ]
+
+
+def idm_input_shape(cfg: PolicyConfig) -> Tuple[int, int, int]:
+    """The raw (h, w, c) VIDEO input shape of an IDM config.
+
+    In the reference's kwargs convention ``img_shape[2]`` declares the IMPALA
+    stack's input — i.e. the conv3d front end's OUTPUT channel count (the
+    published 4x IDM ships ``img_shape=[128, 128, 128]``) — not the video's
+    channel count.  Templates built naively from img_shape would give the
+    conv3d kernel the wrong fan-in, and strict=False weight loading would
+    then silently drop the published conv3d weights."""
+    h, w, c = cfg.img_shape
+    if cfg.conv3d_params:
+        c = int(cfg.conv3d_params.get("inchan", 3))
+    return (int(h), int(w), int(c))
