@@ -1,8 +1,10 @@
 from vpt_tpu.training.bc import BCTrainer, BCHyperparams
+from vpt_tpu.training.idm import IDMTrainer, IDMHyperparams
 from vpt_tpu.training.rl import PPOTrainer, PPOHyperparams, compute_gae
 
 __all__ = [
-    "BCTrainer", "BCHyperparams", "PPOTrainer", "PPOHyperparams", "compute_gae",
+    "BCTrainer", "BCHyperparams", "IDMTrainer", "IDMHyperparams",
+    "PPOTrainer", "PPOHyperparams", "compute_gae",
     "PPBCTrainer",
 ]
 
