@@ -17,7 +17,7 @@ def behavioural_cloning_train(data_dir, in_model, in_weights, out_weights,
                               batch_size=8, chunk_len=128, epochs=2,
                               checkpoint_dir=None, checkpoint_every=0,
                               resume=False, compute_dtype="float32", remat=False, cnn_scan_chunks=0,
-                              fsdp=1, sp=1, tp=1, qat_dense=False):
+                              fsdp=1, sp=1, tp=1, qat_dense=False, labels_dir=None):
     hp = BCHyperparams(
         batch_size=batch_size,
         chunk_len=chunk_len,
@@ -36,6 +36,7 @@ def behavioural_cloning_train(data_dir, in_model, in_weights, out_weights,
         data_dir,
         out_weights,
         resume_dir=checkpoint_dir if resume else None,
+        labels_dir=labels_dir,
     )
     print(f"Finished: {steps} optimizer steps → {out_weights}")
 
@@ -63,6 +64,10 @@ if __name__ == "__main__":
     parser.add_argument("--qat-dense", action="store_true",
                         help="Quantization-aware training: forward against int8-rounded dense weights "
                              "(straight-through gradients) so int8 serving loses no fidelity")
+    parser.add_argument("--labels-dir", type=str, default=None,
+                        help="Train on IDM pseudo-labels: directory of <video_id>.jsonl files "
+                             "(tools/label_videos.py output) instead of side-by-side recorder jsonl — "
+                             "the VPT recipe's web-video BC stage")
 
     args = parser.parse_args()
     behavioural_cloning_train(
@@ -71,5 +76,5 @@ if __name__ == "__main__":
         checkpoint_dir=args.checkpoint_dir, checkpoint_every=args.checkpoint_every,
         resume=args.resume, compute_dtype=args.compute_dtype, remat=args.remat,
         cnn_scan_chunks=args.cnn_scan_chunks, fsdp=args.fsdp, sp=args.sp, tp=args.tp,
-        qat_dense=args.qat_dense,
+        qat_dense=args.qat_dense, labels_dir=args.labels_dir,
     )

@@ -339,3 +339,58 @@ def test_read_batch_short_read_at_eof(tmp_path):
     reader.close()
     assert got == 4
     assert out.shape == (9, 64, 64, 3)
+
+
+def test_sequence_loader_sharding_partitions_the_global_batch(tmp_path):
+    """Multi-host sharding: S shards of B local streams read exactly what one
+    unsharded S·B-stream loader reads — disjoint, in the same global stream
+    order — so a multi-process dp mesh trains on the identical global batch
+    sequence (parallel/mesh.py place_local_batch assembles the shards)."""
+    for j in range(8):
+        _write_fixture(tmp_path, f"t{j}", _distinct_steps(8, salt=j))  # 2 chunks each
+    kw = dict(chunk_len=4, n_epochs=1, seed=11)
+
+    full = _collect(SequenceDataLoader(str(tmp_path), batch_size=4, **kw))
+    shard0 = _collect(SequenceDataLoader(str(tmp_path), batch_size=2,
+                                         shard_id=0, num_shards=2, **kw))
+    shard1 = _collect(SequenceDataLoader(str(tmp_path), batch_size=2,
+                                         shard_id=1, num_shards=2, **kw))
+
+    assert len(full) == len(shard0) == len(shard1) > 0
+    for b_full, b0, b1 in zip(full, shard0, shard1):
+        for key in ("frames", "buttons", "camera", "firsts", "mask", "episode_ids"):
+            merged = np.concatenate([b0[key], b1[key]], axis=0)
+            np.testing.assert_array_equal(merged, b_full[key], err_msg=key)
+
+
+def test_sequence_loader_shard_resume_cursor(tmp_path):
+    """A shard's resume cursor round-trips; a cursor saved under a different
+    shard geometry is rejected in favor of the coarse cursor."""
+    for j in range(8):
+        _write_fixture(tmp_path, f"t{j}", _distinct_steps(8, salt=j))
+    kw = dict(batch_size=2, chunk_len=4, n_epochs=1, seed=11,
+              shard_id=1, num_shards=2)
+
+    full = _collect(SequenceDataLoader(str(tmp_path), **kw))
+
+    interrupted = SequenceDataLoader(str(tmp_path), **kw)
+    head = []
+    try:
+        it = iter(interrupted)
+        head.append(next(it))
+        state = interrupted.state()
+    finally:
+        interrupted.close()
+    assert state["shard"] == [1, 2], state
+
+    tail = _collect(SequenceDataLoader(str(tmp_path), **kw, resume_state=state))
+    resumed = head + tail
+    assert len(resumed) == len(full)
+    for b_full, b_res in zip(full, resumed):
+        np.testing.assert_array_equal(b_res["frames"], b_full["frames"])
+
+    # mismatched geometry: falls back to the coarse cursor instead of using
+    # stream cursors that mean different global streams
+    other = SequenceDataLoader(str(tmp_path), batch_size=2, chunk_len=4,
+                               n_epochs=1, seed=11, resume_state=state)
+    other.close()

@@ -90,3 +90,139 @@ def test_no_env_vars_is_noop(monkeypatch):
         monkeypatch.delenv(var, raising=False)
     # single-process suite: not initialized, no env vars → False, no side effects
     assert maybe_initialize_distributed() is False
+
+
+_BC_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # the runner sets XLA_FLAGS: 2 virtual devices per process (2-proc run)
+    # or 4 (single-process reference) — same global 4-device mesh either way
+    sys.path.insert(0, %(repo)r)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from vpt_tpu.parallel.mesh import maybe_initialize_distributed, make_mesh
+    from vpt_tpu.data.loader import SequenceDataLoader
+    from vpt_tpu.training.bc import BCHyperparams, BCTrainer
+
+    TINY = dict(
+        hidsize=64, impala_width=1, impala_chans=[4, 8], img_shape=[32, 32, 3],
+        init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+        impala_kwargs={"post_pool_groups": 1}, n_recurrence_layers=2,
+        timesteps=4, attention_heads=4, attention_memory_size=8,
+        recurrence_type="transformer", attention_mask_style="clipped_causal",
+        use_pre_lstm_ln=False, obs_processing_width=32,
+    )
+
+    # __main__ guard REQUIRED: the loader's spawn-context data workers
+    # re-import this script (vpt_tpu/data/loader.py module docstring); without
+    # the guard they would re-run jax.distributed.initialize and deadlock
+    if __name__ == "__main__":
+        nproc = int(os.environ.get("NUM_PROCESSES", "1"))
+        if nproc > 1:
+            assert maybe_initialize_distributed()
+        pid = jax.process_index()
+        mesh = make_mesh()
+        assert mesh.devices.size == 4, mesh.devices
+
+        hp = BCHyperparams(batch_size=4, chunk_len=4)  # GLOBAL batch
+        trainer = BCTrainer(TINY, {"temperature": 2.0}, hp=hp, mesh=mesh)
+        trainer.init()
+
+        local_bs = hp.batch_size // nproc
+        loader = SequenceDataLoader(
+            %(data)r, batch_size=local_bs, chunk_len=hp.chunk_len, n_epochs=1,
+            seed=5, resolution=(32, 32), shard_id=pid, num_shards=nproc,
+        )
+        state = trainer.initial_state(hp.batch_size)
+        losses = []
+        try:
+            for i, batch in enumerate(loader):
+                if i >= 3:
+                    break
+                state, loss, grad_norm = trainer.train_step(batch, state)
+                losses.append(float(loss))
+        finally:
+            loader.close()
+        print("BC_LOSSES", pid, " ".join(f"{l:.8f}" for l in losses))
+    """
+)
+
+
+@pytest.mark.timeout(300)
+def test_two_process_bc_training_matches_single_process(tmp_path):
+    """The flagship multi-host path end-to-end: two processes, each loading a
+    DISJOINT stream shard (SequenceDataLoader shard_id/num_shards) and
+    contributing it to the global batch (place_local_batch), train the same
+    tiny policy over a global 4-device mesh — per-step losses must match a
+    single-process run with the unsharded global batch on an identical mesh."""
+    import json
+
+    import numpy as np
+
+    from vpt_tpu.data.video import VideoWriter, native_available
+
+    if not native_available():
+        pytest.skip("native video lib unavailable")
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for j in range(4):  # 4 trajectories → 4 global streams
+        with VideoWriter(str(data_dir / f"t{j}.mp4"), 64, 36, fps=20) as w:
+            for i in range(12):
+                w.write(rng.integers(0, 255, (36, 64, 3), dtype=np.uint8))
+        with open(data_dir / f"t{j}.jsonl", "w") as f:
+            for i in range(12):
+                f.write(json.dumps({
+                    "keyboard": {"keys": ["key.keyboard.w"]},
+                    "mouse": {"x": 0.0, "y": 0.0, "dx": float((i + j) % 5),
+                              "dy": 0.0, "buttons": [], "newButtons": []},
+                    "hotbar": 0, "isGuiOpen": False,
+                }) + "\n")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "bc_worker.py"
+    script.write_text(_BC_WORKER % {"repo": repo, "data": str(data_dir)})
+
+    def run_cluster(nproc):
+        port = _free_port()
+        procs = []
+        for pid in range(nproc):
+            env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+            env["XLA_FLAGS"] = (
+                f"--xla_force_host_platform_device_count={4 // nproc}"
+            )
+            # generous loader timeout: compile + decode under a loaded CI box
+            env["VPT_QUEUE_TIMEOUT"] = "120"
+            if nproc > 1:
+                env.update(
+                    COORDINATOR_ADDRESS=f"localhost:{port}",
+                    NUM_PROCESSES=str(nproc),
+                    PROCESS_ID=str(pid),
+                )
+            else:
+                env["NUM_PROCESSES"] = "1"
+            procs.append(subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            ))
+        results = {}
+        for p in procs:
+            out, err = p.communicate(timeout=280)
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            for line in out.splitlines():
+                if line.startswith("BC_LOSSES"):
+                    _, pid_s, *vals = line.split()
+                    results[int(pid_s)] = [float(v) for v in vals]
+        return results
+
+    single = run_cluster(1)[0]
+    multi = run_cluster(2)
+    assert len(single) == 3
+    # both processes observe the same global loss
+    np.testing.assert_allclose(multi[0], multi[1], rtol=0, atol=1e-7)
+    # and it equals the single-process run on the identical global batch
+    np.testing.assert_allclose(multi[0], single, rtol=0, atol=5e-5)

@@ -103,6 +103,35 @@ def restore_checkpoint(directory: str, step: Optional[int] = None, template: Any
     return payload, data_state
 
 
+def save_data_state(directory: str, step: int, data_state: Dict, keep: int = 3) -> str:
+    """Write ONLY a data-iterator cursor as ``directory/step_N/data_state.json``.
+
+    Multi-host training: the train state is replicated, so process 0 writes
+    the full checkpoint while every other process records just its own data
+    shard's cursor under ``<dir>/shard<p>`` (see BCTrainer.train).  No orbax,
+    no arrays — safe to call concurrently from different processes as long as
+    each uses its own directory."""
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "data_state.json"), "w") as f:
+        json.dump(data_state, f)
+    _prune(directory, keep)
+    return path
+
+
+def restore_data_state(directory: str, step: Optional[int] = None) -> Optional[Dict]:
+    """Read the cursor written by :func:`save_data_state` (latest by default)."""
+    if step is None:
+        step = latest_step(directory)
+        if step is None:
+            return None
+    ds_path = os.path.join(os.path.abspath(directory), f"step_{step}", "data_state.json")
+    if not os.path.exists(ds_path):
+        return None
+    with open(ds_path) as f:
+        return json.load(f)
+
+
 def _prune(directory: str, keep: int) -> None:
     steps = sorted(
         int(name.split("_", 1)[1])

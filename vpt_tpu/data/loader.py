@@ -159,45 +159,166 @@ def trajectory_steps(
             steps.append((action, emit, xy))
 
         # ---- phase 2: batched native decode + composite + resize ----------
-        pos = 0
-        while pos < len(steps):
-            if quit_event is not None and quit_event.is_set():
-                break
-            chunk = steps[pos:pos + batch_frames]
-            k = len(chunk)
-            emit_mask = np.fromiter((s[1] for s in chunk), np.uint8, k)
-            xy = np.full((k, 2), VideoReader.CURSOR_NONE, np.int32)
-            for j, (_, _, cxy) in enumerate(chunk):
-                if cxy is not None:
-                    xy[j] = cxy
-            got, frames = video.read_batch(
-                k, resolution, emit=emit_mask, cursor_xy=xy,
-                cursor=(cursor_rgb, cursor_alpha),
-            )
-            for j in range(got):
-                if chunk[j][1]:
-                    yield frames[j], chunk[j][0]
-            if got < k:
-                # video shorter than the jsonl (same condition the per-frame
-                # path reported per step, reference data_loader.py:122-123)
-                print(f"Could not read frame from video {video_path}")
-                break
-            pos += got
+        yield from _emit_resized_frames(
+            video, steps, resolution, (cursor_rgb, cursor_alpha),
+            quit_event, batch_frames, video_path,
+        )
     finally:
         video.close()
 
 
-def _discover(dataset_dir: str) -> List[Tuple[str, str]]:
+def _emit_resized_frames(video, steps, resolution, cursor, quit_event,
+                         batch_frames, video_path):
+    """Shared pixel phase: run ``(action, emit, cursor_xy)`` step plans
+    through the native batched decode → cursor composite → bit-exact resize
+    path, yielding ``(frame, action)`` for the emitting steps."""
+    from vpt_tpu.data.video import VideoReader
+
+    pos = 0
+    while pos < len(steps):
+        if quit_event is not None and quit_event.is_set():
+            break
+        chunk = steps[pos:pos + batch_frames]
+        k = len(chunk)
+        emit_mask = np.fromiter((s[1] for s in chunk), np.uint8, k)
+        xy = np.full((k, 2), VideoReader.CURSOR_NONE, np.int32)
+        for j, (_, _, cxy) in enumerate(chunk):
+            if cxy is not None:
+                xy[j] = cxy
+        got, frames = video.read_batch(
+            k, resolution, emit=emit_mask, cursor_xy=xy, cursor=cursor,
+        )
+        for j in range(got):
+            if chunk[j][1]:
+                yield frames[j], chunk[j][0]
+        if got < k:
+            # video shorter than the jsonl (same condition the per-frame
+            # path reported per step, reference data_loader.py:122-123)
+            print(f"Could not read frame from video {video_path}")
+            break
+        pos += got
+
+
+def _is_pseudo_label_file(json_path: str) -> bool:
+    """True for IDM pseudo-label jsonl (rows ``{"frame": i, "action": {...}}``
+    from ``tools/label_videos.py`` / ``run_inverse_dynamics_model.py --out``),
+    False for recorder-format contractor jsonl."""
+    with open(json_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            return "action" in row and "frame" in row
+    return False
+
+
+def pseudo_label_steps(
+    video_path: str,
+    json_path: str,
+    resolution: Tuple[int, int] = AGENT_RESOLUTION,
+    cursor=None,
+    quit_event=None,
+    skip_steps: int = 0,
+    batch_frames: int = 64,
+):
+    """Generator of (frame, env_action) for an IDM-PSEUDO-LABELED recording —
+    the web-video half of the VPT recipe (paper §4: train BC on IDM labels).
+
+    Rows are ``{"frame": i, "action": {<env action>}}`` — already env
+    actions, so none of the recorder fixups apply (no stuck-attack, no hotbar
+    tracking, no GUI cursor compositing; the IDM never predicts GUI state).
+    Null actions are skipped exactly as the contractor path skips them
+    (reference data_loader.py:109-111): all buttons 0 and zero camera — the
+    IDM's center camera bin decodes to exactly 0.0, so the test is exact.
+    Frames without a label row are decoded (to stay in step) but not emitted.
+
+    Same contract as :func:`trajectory_steps` (``skip_steps`` counts non-null
+    steps; pixel path is the shared batched native call), so the sequence
+    loader's chunking/resume machinery applies unchanged.
+    """
+    from vpt_tpu.data.video import VideoReader
+
+    by_frame = {}
+    max_frame = -1
+    for row in _load_jsonl(json_path):
+        i = int(row["frame"])
+        by_frame[i] = row["action"]
+        max_frame = max(max_frame, i)
+
+    video = VideoReader(video_path)
+    try:
+        steps = []  # (env_action, emit, None) — no cursor compositing
+        emitted = 0
+        for i in range(max_frame + 1):
+            raw = by_frame.get(i)
+            if raw is None:
+                steps.append((None, False, None))
+                continue
+            action = {}
+            is_null = True
+            for k, v in raw.items():
+                if k == "camera":
+                    cam = np.asarray(v, np.float32).reshape(2)
+                    action[k] = cam
+                    is_null = is_null and bool(np.all(cam == 0.0))
+                else:
+                    b = int(np.asarray(v).reshape(-1)[0])
+                    action[k] = b
+                    is_null = is_null and b == 0
+            emit = False
+            if not is_null:
+                emit = emitted >= skip_steps
+                emitted += 1
+            steps.append((action, emit, None))
+        yield from _emit_resized_frames(
+            video, steps, resolution, cursor if cursor is not None else default_cursor(),
+            quit_event, batch_frames, video_path,
+        )
+    finally:
+        video.close()
+
+
+def steps_for(video_path: str, json_path: str, **kw):
+    """Dispatch a recording to the right step generator by jsonl format:
+    recorder-format contractor data through :func:`trajectory_steps` (all
+    fixups), IDM pseudo-labels through :func:`pseudo_label_steps`.  Lets one
+    corpus mix contractor and pseudo-labeled trajectories."""
+    if _is_pseudo_label_file(json_path):
+        return pseudo_label_steps(video_path, json_path, **kw)
+    return trajectory_steps(video_path, json_path, **kw)
+
+
+def _discover(dataset_dir: str, labels_dir: Optional[str] = None) -> List[Tuple[str, str]]:
+    """Pair each ``*.mp4`` with its jsonl — from ``labels_dir`` when given
+    (the pseudo-label layout ``tools/label_videos.py --out-dir`` writes:
+    videos in one tree, ``<id>.jsonl`` labels in another), else side-by-side
+    (the contractor layout).  With ``labels_dir``, videos not yet labeled are
+    skipped with a notice, so training can run on a partially-labeled corpus."""
     unique_ids = sorted(
         {os.path.basename(x).split(".")[0] for x in glob.glob(os.path.join(dataset_dir, "*.mp4"))}
     )
-    return [
-        (
-            os.path.abspath(os.path.join(dataset_dir, uid + ".mp4")),
-            os.path.abspath(os.path.join(dataset_dir, uid + ".jsonl")),
+    if labels_dir is None:
+        return [
+            (
+                os.path.abspath(os.path.join(dataset_dir, uid + ".mp4")),
+                os.path.abspath(os.path.join(dataset_dir, uid + ".jsonl")),
+            )
+            for uid in unique_ids
+        ]
+    pairs, missing = [], 0
+    for uid in unique_ids:
+        jp = os.path.abspath(os.path.join(labels_dir, uid + ".jsonl"))
+        if os.path.exists(jp):
+            pairs.append((os.path.abspath(os.path.join(dataset_dir, uid + ".mp4")), jp))
+        else:
+            missing += 1
+    if missing:
+        print(
+            f"[vpt_tpu] {missing}/{len(unique_ids)} videos in {dataset_dir} have "
+            f"no label file in {labels_dir}; skipped"
         )
-        for uid in unique_ids
-    ]
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +472,7 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
         frames, buttons, cameras = [], [], []
         chunk_index = skip_chunks
         try:
-            for frame, action in trajectory_steps(
+            for frame, action in steps_for(
                 video_path,
                 json_path,
                 resolution=resolution,
@@ -436,14 +557,34 @@ class SequenceDataLoader:
         seed: Optional[int] = None,
         start_trajectory: int = 0,
         resume_state: Optional[Dict] = None,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        labels_dir: Optional[str] = None,
     ):
         """``resume_state`` is a dict previously returned by :meth:`state`;
         when given, each stream fast-forwards to exactly its first unconsumed
         chunk — no frames skipped, none repeated.  ``start_trajectory`` is the
-        coarser legacy cursor (whole-trajectory granularity)."""
-        demonstration_tuples = _discover(dataset_dir)
-        assert batch_size <= len(demonstration_tuples), (
-            f"batch_size should be <= number of demonstrations {len(demonstration_tuples)}"
+        coarser legacy cursor (whole-trajectory granularity).
+
+        ``shard_id``/``num_shards`` split the GLOBAL stream grid across hosts
+        for multi-process training: the global batch has ``batch_size ×
+        num_shards`` streams, this loader serves the ``batch_size`` local
+        streams of shard ``shard_id``, and trajectory ownership is computed
+        on global stream indices — so the shards are disjoint, cover exactly
+        what one unsharded loader with the global batch would, and stream g's
+        data is identical either way (same ``seed`` required on every host).
+
+        ``labels_dir`` points at IDM pseudo-label jsonl living apart from the
+        videos (tools/label_videos.py layout); per-trajectory jsonl format is
+        auto-detected either way (:func:`steps_for`), so contractor and
+        pseudo-labeled recordings can mix in one corpus."""
+        assert 0 <= shard_id < num_shards, (shard_id, num_shards)
+        demonstration_tuples = _discover(dataset_dir, labels_dir)
+        global_streams = batch_size * num_shards
+        assert global_streams <= len(demonstration_tuples), (
+            f"global stream count {global_streams} (batch_size {batch_size} × "
+            f"num_shards {num_shards}) should be <= number of demonstrations "
+            f"{len(demonstration_tuples)}"
         )
         rng = random.Random(seed)
         self.demonstration_tuples = []
@@ -453,34 +594,41 @@ class SequenceDataLoader:
             self.demonstration_tuples += shuffled
         self.chunk_len = chunk_len
         self.batch_size = batch_size
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self.n_trajectories_dispatched = start_trajectory
 
-        # Stream i owns trajectory list positions ≡ i (mod B) — the fixed
-        # round-robin makes per-stream resume cursors well-defined.
+        # Global stream g owns trajectory list positions ≡ g (mod G) — the
+        # fixed round-robin makes per-stream resume cursors well-defined and
+        # makes S shards of B streams read exactly what one S·B-stream loader
+        # would.  Local stream i here is global stream shard_id·B + i.
         streams = None
         if resume_state and resume_state.get("streams"):
             streams = resume_state["streams"]
-            if len(streams) != batch_size:
+            saved_shard = resume_state.get("shard", [0, 1])
+            if len(streams) != batch_size or list(saved_shard) != [shard_id, num_shards]:
                 # checkpoint written under a different stream geometry: the
                 # per-stream cursor is meaningless, fall back to the coarse
                 # whole-trajectory cursor instead of refusing to resume
                 print(
-                    f"[vpt_tpu] resume: stream cursor has {len(streams)} streams "
-                    f"but batch_size={batch_size}; using the coarse trajectory cursor"
+                    f"[vpt_tpu] resume: stream cursor ({len(streams)} streams, "
+                    f"shard {saved_shard}) does not match batch_size={batch_size} "
+                    f"shard=[{shard_id}, {num_shards}]; using the coarse trajectory cursor"
                 )
                 streams = None
         self.task_queues = [Queue() for _ in range(batch_size)]
         n_total = len(self.demonstration_tuples)
         for i in range(batch_size):
-            first_pos, skip_chunks = i, 0
+            g = shard_id * batch_size + i
+            first_pos, skip_chunks = g, 0
             if streams is not None:
                 traj, chunks = int(streams[i][0]), int(streams[i][1])
                 if traj >= 0:
                     first_pos, skip_chunks = traj, chunks
             elif start_trajectory:
                 # legacy coarse cursor: first owned position ≥ start_trajectory
-                first_pos = i + ((max(start_trajectory - i, 0) + batch_size - 1) // batch_size) * batch_size
-            for pos in range(first_pos, n_total, batch_size):
+                first_pos = g + ((max(start_trajectory - g, 0) + global_streams - 1) // global_streams) * global_streams
+            for pos in range(first_pos, n_total, global_streams):
                 self.task_queues[i].put(
                     (pos, *self.demonstration_tuples[pos], skip_chunks if pos == first_pos else 0)
                 )
@@ -514,6 +662,7 @@ class SequenceDataLoader:
         return {
             "n_trajectories_dispatched": self.n_trajectories_dispatched,
             "streams": [list(c) for c in self._stream_cursor],
+            "shard": [self.shard_id, self.num_shards],
         }
 
     def __iter__(self):
@@ -533,7 +682,11 @@ class SequenceDataLoader:
                         f"data worker {i} died (exitcode {self.processes[i].exitcode}); "
                         "check worker stderr above"
                     ) from None
-                raise
+                raise RuntimeError(
+                    f"data worker {i} is alive but produced no chunk within "
+                    f"{QUEUE_TIMEOUT}s — on a starved host (first jit compiles "
+                    "competing for cores) raise VPT_QUEUE_TIMEOUT"
+                ) from None
             if item is None:
                 self._done[i] = True
                 raise StopIteration()

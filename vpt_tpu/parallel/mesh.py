@@ -118,3 +118,38 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host batch pytree with its leading axis split over dp."""
     sh = batch_sharded(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def place_local_batch(batch, sharding: NamedSharding):
+    """Place a host batch pytree under ``sharding``, multi-host aware.
+
+    Single-process: a plain ``device_put``.  Multi-process (after
+    :func:`maybe_initialize_distributed`): each process holds only its own
+    slice of the global batch — its loader reads a disjoint stream shard
+    (``SequenceDataLoader(shard_id=, num_shards=)``) — so the global array is
+    assembled from per-process shards with
+    ``jax.make_array_from_process_local_data``; the global leading axis is
+    ``local_B × process_count``.
+
+    Assumes the standard mesh layout: only BATCH axes (dp / fsdp) cross
+    process boundaries, while sp / tp / pp stay within a host — i.e. each
+    process contributes full trailing dimensions of its batch rows.
+    """
+    nproc = jax.process_count()
+    if nproc == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    def place(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(place, batch)
+
+
+def device_zeros_like_tree(tree_fn, sharding: NamedSharding):
+    """Build a device-resident pytree (e.g. an initial recurrent state) as a
+    GLOBAL computation: correct under multi-process meshes, where pieces of
+    the sharding are not addressable from this host, and free of the
+    host→device transfer a ``device_put`` of host zeros would cost."""
+    return jax.jit(tree_fn, out_shardings=sharding)()

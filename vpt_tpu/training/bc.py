@@ -25,6 +25,7 @@ paper", behavioural_cloning.py:26-40).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -38,7 +39,14 @@ from vpt_tpu.checkpoint import load_model_parameters, load_weights, save_weights
 from vpt_tpu.config import PolicyConfig
 from vpt_tpu.models.heads import dict_logprob, head_specs_from_space
 from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
-from vpt_tpu.parallel.mesh import batch_sharded, make_mesh, replicated, seq_sharded
+from vpt_tpu.parallel.mesh import (
+    batch_sharded,
+    device_zeros_like_tree,
+    make_mesh,
+    place_local_batch,
+    replicated,
+    seq_sharded,
+)
 from vpt_tpu.spaces import DictType
 from vpt_tpu.utils.metrics import MetricsLogger
 
@@ -98,7 +106,7 @@ class DevicePrefetcher:
             "firsts": batch["firsts"].astype(bool),
             "mask": batch["mask"].astype(bool),
         }
-        placed = jax.tree.map(lambda x: jax.device_put(x, self._sharding), placed)
+        placed = place_local_batch(placed, self._sharding)
         # pass host-only metadata (episode_ids, data cursor) through untouched
         for key, value in batch.items():
             if key not in placed:
@@ -331,7 +339,7 @@ class BCTrainer:
                 "firsts": batch["firsts"].astype(bool),
                 "mask": batch["mask"].astype(bool),
             }
-            batch = jax.tree.map(lambda x: jax.device_put(x, seq_sharded(self.mesh)), batch)
+            batch = place_local_batch(batch, seq_sharded(self.mesh))
         self.variables, self.opt_state, state, loss, grad_norm = self._train_step(
             self.variables, self.opt_state, batch, state
         )
@@ -353,6 +361,14 @@ class BCTrainer:
         return compiled_flops(self._train_step, self.variables, self.opt_state, batch, state)
 
     def initial_state(self, batch_size: int):
+        """``batch_size`` is GLOBAL (all hosts' streams together)."""
+        if jax.process_count() > 1:
+            # some of the sharding's devices aren't addressable from this
+            # host: build the zeros as a global computation, not a device_put
+            return device_zeros_like_tree(
+                lambda: policy_initial_state(self.cfg, batch_size),
+                batch_sharded(self.mesh),
+            )
         state = policy_initial_state(self.cfg, batch_size)
         return jax.device_put(state, batch_sharded(self.mesh))
 
@@ -386,7 +402,8 @@ class BCTrainer:
 
         return jax.jit(eval_step)
 
-    def evaluate(self, data_dir: str, max_batches: Optional[int] = None) -> Dict[str, float]:
+    def evaluate(self, data_dir: str, max_batches: Optional[int] = None,
+                 labels_dir: Optional[str] = None) -> Dict[str, float]:
         """Held-out BC objective over a dataset directory: mask-weighted
         negative log-likelihood per frame (no gradient, no parameter update).
 
@@ -406,6 +423,7 @@ class BCTrainer:
             data_dir, batch_size=self.hp.batch_size, chunk_len=self.hp.chunk_len,
             n_epochs=1, seed=self._seed,
             resolution=(self.cfg.img_shape[1], self.cfg.img_shape[0]),
+            labels_dir=labels_dir,
         )
         state = self.initial_state(self.hp.batch_size)
         last_episode = np.full(self.hp.batch_size, -1, np.int64)
@@ -446,13 +464,31 @@ class BCTrainer:
         out_weights: str,
         metrics: Optional[MetricsLogger] = None,
         resume_dir: Optional[str] = None,
+        labels_dir: Optional[str] = None,
     ):
-        """Full fine-tuning run over a contractor dataset directory."""
+        """Full fine-tuning run over a contractor dataset directory — or,
+        with ``labels_dir``, over IDM-pseudo-labeled video (the VPT paper's
+        web-video BC stage: videos in ``data_dir``, ``tools/label_videos.py``
+        jsonl in ``labels_dir``).
+
+        Multi-host (after ``maybe_initialize_distributed``): ``hp.batch_size``
+        stays the GLOBAL batch; each process loads its own disjoint shard of
+        ``batch_size / process_count`` streams (the loader's global stream
+        grid makes the union identical to a single-host run) and contributes
+        it to the global batch via ``place_local_batch``.  Process 0 writes
+        checkpoints/weights; every other process records only its data shard's
+        cursor under ``<checkpoint_dir>/shard<p>``.  Assumes the usual pod
+        setup where ``checkpoint_dir`` is shared storage (GCS/NFS)."""
         from vpt_tpu.checkpoint import native as native_ckpt
         from vpt_tpu.data.loader import SequenceDataLoader
 
         hp = self.hp
         self.init()
+        nproc, pid = jax.process_count(), jax.process_index()
+        assert hp.batch_size % nproc == 0, (
+            f"global batch_size {hp.batch_size} must divide over {nproc} processes"
+        )
+        local_bs = hp.batch_size // nproc
         metrics = metrics or MetricsLogger()
         start_traj = 0
         resume_state = None
@@ -474,23 +510,41 @@ class BCTrainer:
                     lambda ref, x: jax.device_put(x, ref.sharding), ref_state, payload["opt_state"]
                 )
                 if data_state:
+                    if pid > 0:
+                        # this process's own shard cursor (written alongside
+                        # process 0's full checkpoint); keep process 0's
+                        # step_count if the shard cursor is missing
+                        shard_state = native_ckpt.restore_data_state(
+                            os.path.join(resume_dir, f"shard{pid}")
+                        )
+                        data_state = shard_state or {
+                            k: data_state[k]
+                            for k in ("n_trajectories_dispatched", "step_count")
+                            if k in data_state
+                        }
                     start_traj = int(data_state.get("n_trajectories_dispatched", 0))
                     self.step_count = int(data_state.get("step_count", 0))
                     # exact per-stream cursor (trajectory, chunks consumed);
                     # falls back to the coarse whole-trajectory cursor for
                     # checkpoints written before it existed
                     if data_state.get("streams"):
-                        resume_state = {"streams": data_state["streams"]}
+                        resume_state = {
+                            "streams": data_state["streams"],
+                            "shard": data_state.get("shard", [0, 1]),
+                        }
 
         loader = SequenceDataLoader(
             data_dir,
-            batch_size=hp.batch_size,
+            batch_size=local_bs,
             chunk_len=hp.chunk_len,
             n_epochs=hp.epochs,
             seed=self._seed,
             start_trajectory=start_traj,
             resume_state=resume_state,
             resolution=(self.cfg.img_shape[1], self.cfg.img_shape[0]),
+            shard_id=pid,
+            num_shards=nproc,
+            labels_dir=labels_dir,
         )
 
         # Preemption safety: SIGTERM/SIGINT triggers a final checkpoint before
@@ -509,8 +563,9 @@ class BCTrainer:
             except ValueError:  # non-main thread
                 pass
         state = self.initial_state(hp.batch_size)
-        # reset stream state when its episode changes
-        last_episode = np.full(hp.batch_size, -1, np.int64)
+        # reset stream state when its episode changes (local streams only;
+        # each process injects firsts for the rows it contributes)
+        last_episode = np.full(local_bs, -1, np.int64)
         start = time.time()
         loss_sum, frames_seen = 0.0, 0
 
@@ -550,13 +605,24 @@ class BCTrainer:
                     and hp.checkpoint_dir
                 )
                 if checkpoint_now or (stop_requested["flag"] and hp.checkpoint_dir):
-                    native_ckpt.save_checkpoint(
-                        hp.checkpoint_dir,
-                        self.step_count,
-                        jax.tree.map(np.asarray, self.variables),
-                        opt_state=jax.tree.map(np.asarray, self.opt_state),
-                        data_state={**data_cursor, "step_count": self.step_count},
-                    )
+                    cursor = {**data_cursor, "step_count": self.step_count}
+                    if pid == 0:
+                        # replicated train state: host copies are identical,
+                        # one writer suffices (np.asarray pulls the local
+                        # replica of each fully-replicated global array)
+                        native_ckpt.save_checkpoint(
+                            hp.checkpoint_dir,
+                            self.step_count,
+                            jax.tree.map(np.asarray, self.variables),
+                            opt_state=jax.tree.map(np.asarray, self.opt_state),
+                            data_state=cursor,
+                        )
+                    else:
+                        native_ckpt.save_data_state(
+                            os.path.join(hp.checkpoint_dir, f"shard{pid}"),
+                            self.step_count,
+                            cursor,
+                        )
                 if stop_requested["flag"]:
                     metrics.log(event="preempted", step=self.step_count)
                     break
@@ -564,5 +630,6 @@ class BCTrainer:
             loader.close()
             for sig, handler in old_handlers.items():
                 signal.signal(sig, handler)
-        save_weights(out_weights, jax.tree.map(np.asarray, self.variables))
+        if pid == 0:
+            save_weights(out_weights, jax.tree.map(np.asarray, self.variables))
         return self.step_count

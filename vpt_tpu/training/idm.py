@@ -55,7 +55,14 @@ from vpt_tpu.models.policy import (
     idm_input_shape,
     policy_initial_state,
 )
-from vpt_tpu.parallel.mesh import batch_sharded, make_mesh, replicated, seq_sharded
+from vpt_tpu.parallel.mesh import (
+    batch_sharded,
+    device_zeros_like_tree,
+    make_mesh,
+    place_local_batch,
+    replicated,
+    seq_sharded,
+)
 from vpt_tpu.spaces import DictType
 from vpt_tpu.training.bc import DevicePrefetcher, make_optimizer
 from vpt_tpu.utils.metrics import MetricsLogger
@@ -270,7 +277,7 @@ class IDMTrainer:
             state = self.initial_state(np.asarray(batch["frames"]).shape[0])
         if not isinstance(batch["frames"], jax.Array):
             batch = self._prepare_batch(batch)
-            batch = jax.tree.map(lambda x: jax.device_put(x, seq_sharded(self.mesh)), batch)
+            batch = place_local_batch(batch, seq_sharded(self.mesh))
         # one jit signature for both call paths: the prefetcher's extra
         # "firsts" key (placement-only) is dropped before the compiled step
         batch = {k: batch[k] for k in ("frames", "buttons", "camera", "mask")}
@@ -281,6 +288,12 @@ class IDMTrainer:
         return loss, grad_norm
 
     def initial_state(self, batch_size: int):
+        """``batch_size`` is GLOBAL (all hosts' windows together)."""
+        if jax.process_count() > 1:
+            return device_zeros_like_tree(
+                lambda: policy_initial_state(self.cfg, batch_size),
+                batch_sharded(self.mesh),
+            )
         return jax.device_put(
             policy_initial_state(self.cfg, batch_size), batch_sharded(self.mesh)
         )
@@ -374,7 +387,13 @@ class IDMTrainer:
         resume_dir: Optional[str] = None,
     ):
         """Full training run over a contractor-labeled dataset directory
-        (mp4 + jsonl pairs, the same layout BC trains on)."""
+        (mp4 + jsonl pairs, the same layout BC trains on).
+
+        Multi-host: same contract as BCTrainer.train — ``hp.batch_size`` is
+        the GLOBAL batch, each process loads a disjoint stream shard, process
+        0 writes checkpoints/weights, others record their shard cursor under
+        ``<checkpoint_dir>/shard<p>`` (shared storage assumed)."""
+        import os
         import signal
 
         from vpt_tpu.checkpoint import native as native_ckpt
@@ -382,6 +401,11 @@ class IDMTrainer:
 
         hp = self.hp
         self.init()
+        nproc, pid = jax.process_count(), jax.process_index()
+        assert hp.batch_size % nproc == 0, (
+            f"global batch_size {hp.batch_size} must divide over {nproc} processes"
+        )
+        local_bs = hp.batch_size // nproc
         metrics = metrics or MetricsLogger()
         start_traj = 0
         resume_state = None
@@ -400,20 +424,34 @@ class IDMTrainer:
                     lambda ref, x: jax.device_put(x, ref.sharding), ref_state, payload["opt_state"]
                 )
                 if data_state:
+                    if pid > 0:
+                        shard_state = native_ckpt.restore_data_state(
+                            os.path.join(resume_dir, f"shard{pid}")
+                        )
+                        data_state = shard_state or {
+                            k: data_state[k]
+                            for k in ("n_trajectories_dispatched", "step_count")
+                            if k in data_state
+                        }
                     start_traj = int(data_state.get("n_trajectories_dispatched", 0))
                     self.step_count = int(data_state.get("step_count", 0))
                     if data_state.get("streams"):
-                        resume_state = {"streams": data_state["streams"]}
+                        resume_state = {
+                            "streams": data_state["streams"],
+                            "shard": data_state.get("shard", [0, 1]),
+                        }
 
         loader = SequenceDataLoader(
             data_dir,
-            batch_size=hp.batch_size,
+            batch_size=local_bs,
             chunk_len=hp.window,
             n_epochs=hp.epochs,
             seed=self._seed,
             start_trajectory=start_traj,
             resume_state=resume_state,
             resolution=(self.cfg.img_shape[1], self.cfg.img_shape[0]),
+            shard_id=pid,
+            num_shards=nproc,
         )
 
         stop_requested = {"flag": False}
@@ -463,13 +501,21 @@ class IDMTrainer:
                     and hp.checkpoint_dir
                 )
                 if checkpoint_now or (stop_requested["flag"] and hp.checkpoint_dir):
-                    native_ckpt.save_checkpoint(
-                        hp.checkpoint_dir,
-                        self.step_count,
-                        jax.tree.map(np.asarray, self.variables),
-                        opt_state=jax.tree.map(np.asarray, self.opt_state),
-                        data_state={**data_cursor, "step_count": self.step_count},
-                    )
+                    cursor = {**data_cursor, "step_count": self.step_count}
+                    if pid == 0:
+                        native_ckpt.save_checkpoint(
+                            hp.checkpoint_dir,
+                            self.step_count,
+                            jax.tree.map(np.asarray, self.variables),
+                            opt_state=jax.tree.map(np.asarray, self.opt_state),
+                            data_state=cursor,
+                        )
+                    else:
+                        native_ckpt.save_data_state(
+                            os.path.join(hp.checkpoint_dir, f"shard{pid}"),
+                            self.step_count,
+                            cursor,
+                        )
                 if stop_requested["flag"]:
                     metrics.log(event="preempted", step=self.step_count)
                     break
@@ -477,5 +523,6 @@ class IDMTrainer:
             loader.close()
             for sig, handler in old_handlers.items():
                 signal.signal(sig, handler)
-        save_weights(out_weights, jax.tree.map(np.asarray, self.variables))
+        if pid == 0:
+            save_weights(out_weights, jax.tree.map(np.asarray, self.variables))
         return self.step_count
