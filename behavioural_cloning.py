@@ -18,6 +18,12 @@ def behavioural_cloning_train(data_dir, in_model, in_weights, out_weights,
                               checkpoint_dir=None, checkpoint_every=0,
                               resume=False, compute_dtype="float32", remat=False, cnn_scan_chunks=0,
                               fsdp=1, sp=1, tp=1, qat_dense=False, labels_dir=None):
+    from vpt_tpu.parallel.mesh import maybe_initialize_distributed
+
+    # multi-host pod launch (COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID set):
+    # must run before anything touches the XLA backend so the default mesh
+    # spans all hosts and BCTrainer.train's per-process data sharding engages
+    maybe_initialize_distributed()
     hp = BCHyperparams(
         batch_size=batch_size,
         chunk_len=chunk_len,

@@ -31,6 +31,11 @@ def inverse_dynamics_train(data_dir, in_model, out_weights, in_weights=None,
                            checkpoint_dir=None, checkpoint_every=0, resume=False,
                            compute_dtype="float32", remat=False, cnn_scan_chunks=0,
                            fsdp=1, sp=1, tp=1, qat_dense=False, val_dir=None):
+    from vpt_tpu.parallel.mesh import maybe_initialize_distributed
+
+    # multi-host pod launch: see behavioural_cloning.py — must precede any
+    # XLA backend touch so the default mesh spans all hosts
+    maybe_initialize_distributed()
     hp = IDMHyperparams(
         batch_size=batch_size,
         window=window,
