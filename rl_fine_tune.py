@@ -29,6 +29,13 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
          compute_dtype="bfloat16", metrics_path=None, checkpoint_dir=None,
          checkpoint_every=0, resume=False, aux_phase_every=0, aux_epochs=4,
          beta_clone=1.0, fsdp=1, tp=1, collect_groups=0):
+    from vpt_tpu.parallel.mesh import maybe_initialize_distributed
+
+    # multi-host pod launch: each host runs ITS OWN --streams envs and
+    # contributes them to the global PPO batch (must precede any backend use)
+    maybe_initialize_distributed()
+    import jax as _jax
+
     mesh = None
     if fsdp > 1 or tp > 1:
         from vpt_tpu.parallel.mesh import make_mesh
@@ -36,19 +43,21 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
         mesh = make_mesh(n_fsdp=fsdp, n_tp=tp)
     if collect_groups == 0:
         # auto: pipeline collection as round-robin groups when they divide
-        # the stream axis AND the per-group batch still divides over the
-        # mesh's data axes (measured +98% collect throughput, docs/ROADMAP.md)
+        # the stream axis AND the per-group LOCAL batch still divides over
+        # this host's data-parallel devices (measured +98% collect
+        # throughput, docs/ROADMAP.md)
         import numpy as _np
 
         from vpt_tpu.parallel.mesh import make_mesh as _mm
 
         m = mesh if mesh is not None else _mm()
         n_data = int(_np.prod([m.shape[a] for a in ("dp", "fsdp") if a in m.axis_names]))
+        n_data_local = max(n_data // _jax.process_count(), 1)
         if mesh is None:
             mesh = m  # reuse: a second make_mesh() would re-derive identically
         collect_groups = 1
         for g in (4, 2):
-            if streams % g == 0 and streams >= 2 * g and (streams // g) % max(n_data, 1) == 0:
+            if streams % g == 0 and streams >= 2 * g and (streams // g) % n_data_local == 0:
                 collect_groups = g
                 break
     hp = PPOHyperparams(
@@ -68,7 +77,10 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
     if mock_env:
         from vpt_tpu.agent.rollout import MockMinecraftEnv
 
-        envs = [MockMinecraftEnv(seed=i) for i in range(streams)]
+        envs = [
+            MockMinecraftEnv(seed=_jax.process_index() * streams + i)
+            for i in range(streams)
+        ]
         reward_fn = demo_attack_reward
     else:
         import gym  # the Java MineRL env; only on hosts that have it
@@ -94,7 +106,8 @@ if __name__ == "__main__":
     parser.add_argument("--in-weights", required=True, type=str, help="Path to the .weights file (also the frozen KL anchor).")
     parser.add_argument("--out-weights", required=True, type=str, help="Path where finetuned weights will be saved.")
     parser.add_argument("--mock-env", action="store_true", help="Use synthetic envs with the demo attack reward (no Java).")
-    parser.add_argument("--streams", type=int, default=8, help="Parallel env streams.")
+    parser.add_argument("--streams", type=int, default=8,
+                        help="Parallel env streams (PER HOST on a multi-host launch).")
     parser.add_argument("--updates", type=int, default=50, help="collect+update cycles.")
     parser.add_argument("--rollout-len", type=int, default=40, help="Steps collected per stream per update.")
     parser.add_argument("--learning-rate", type=float, default=3e-5)

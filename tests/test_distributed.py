@@ -151,6 +151,111 @@ _BC_WORKER = textwrap.dedent(
 )
 
 
+_PPO_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, %(repo)r)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from vpt_tpu.parallel.mesh import maybe_initialize_distributed, make_mesh
+    from vpt_tpu.agent.rollout import MockMinecraftEnv
+    from vpt_tpu.training.rl import PPOHyperparams, PPOTrainer
+
+    TINY = dict(
+        hidsize=64, impala_width=1, impala_chans=[4, 8], img_shape=[32, 32, 3],
+        init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+        impala_kwargs={"post_pool_groups": 1}, n_recurrence_layers=2,
+        timesteps=4, attention_heads=4, attention_memory_size=8,
+        recurrence_type="transformer", attention_mask_style="clipped_causal",
+        use_pre_lstm_ln=False, obs_processing_width=32,
+    )
+
+    if __name__ == "__main__":
+        nproc = int(os.environ.get("NUM_PROCESSES", "1"))
+        if nproc > 1:
+            assert maybe_initialize_distributed()
+        pid = jax.process_index()
+        mesh = make_mesh()
+        assert mesh.devices.size == 4, mesh.devices
+
+        local_streams = 4 // nproc
+        hp = PPOHyperparams(rollout_len=4, n_epochs=2, n_minibatches=2,
+                            aux_phase_every=2, aux_epochs=1)
+        trainer = PPOTrainer(TINY, {"temperature": 2.0}, hp=hp, mesh=mesh,
+                             seed=7)
+        trainer.init()
+        # the same GLOBAL env set in both configurations: seeds
+        # pid*local+i ≡ the single-process 0..3
+        envs = [MockMinecraftEnv(seed=pid * local_streams + i, done_prob=0.3)
+                for i in range(local_streams)]
+        reward = lambda a, o, r, d: float(a["attack"])
+        obs = firsts = None
+        lines = []
+        for u in range(2):
+            traj, obs, firsts = trainer.collect(envs, obs, firsts,
+                                                reward_fn=reward)
+            m = trainer.update(traj)
+            lines.append(f'{m["loss"]:.8f} {m["mean_return"]:.8f}')
+        print("PPO_METRICS", pid, "|".join(lines))
+    """
+)
+
+
+@pytest.mark.timeout(600)
+def test_two_process_ppo_matches_single_process(tmp_path):
+    """Multi-host RL: two processes each collect their OWN 2 mock-env streams
+    and contribute them to the global PPO batch — per-update loss and
+    mean_return must equal the single-process 4-stream run (identical global
+    env set, identical rng), and both ranks must agree exactly."""
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "ppo_worker.py"
+    script.write_text(_PPO_WORKER % {"repo": repo})
+
+    def run_cluster(nproc):
+        port = _free_port()
+        procs = []
+        for pid in range(nproc):
+            env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+            env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={4 // nproc}"
+            if nproc > 1:
+                env.update(
+                    COORDINATOR_ADDRESS=f"localhost:{port}",
+                    NUM_PROCESSES=str(nproc),
+                    PROCESS_ID=str(pid),
+                )
+            else:
+                env["NUM_PROCESSES"] = "1"
+            procs.append(subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            ))
+        results = {}
+        for p in procs:
+            out, err = p.communicate(timeout=560)
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            for line in out.splitlines():
+                if line.startswith("PPO_METRICS"):
+                    _, pid_s, payload = line.split(" ", 2)
+                    results[int(pid_s)] = [
+                        [float(v) for v in part.split()]
+                        for part in payload.split("|")
+                    ]
+        return results
+
+    single = run_cluster(1)[0]
+    multi = run_cluster(2)
+    assert len(single) == 2
+    # both ranks observe the same global metrics
+    np.testing.assert_allclose(multi[0], multi[1], rtol=0, atol=1e-7)
+    # and they equal the single-process run over the identical global batch
+    np.testing.assert_allclose(multi[0], single, rtol=0, atol=5e-5)
+
+
 @pytest.mark.timeout(300)
 def test_two_process_bc_training_matches_single_process(tmp_path):
     """The flagship multi-host path end-to-end: two processes, each loading a

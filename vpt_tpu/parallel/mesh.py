@@ -147,6 +147,26 @@ def place_local_batch(batch, sharding: NamedSharding):
     return jax.tree.map(place, batch)
 
 
+def local_batch_rows(x) -> np.ndarray:
+    """The inverse of :func:`place_local_batch` for a batch-sharded global
+    array: this process's own rows, host-ordered by global batch index.
+
+    Single-process this is just ``np.asarray``.  Multi-process, a global
+    array's ``np.asarray`` is illegal (some shards live on other hosts); the
+    rows THIS process contributed are exactly its addressable shards —
+    concatenate them in global order, deduplicating replicas (a leaf that is
+    replicated over a model axis, e.g. tp, yields one addressable shard per
+    local device with the same batch slice)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    by_start = {}
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in by_start:
+            by_start[start] = np.asarray(s.data)
+    return np.concatenate([by_start[k] for k in sorted(by_start)], axis=0)
+
+
 def device_zeros_like_tree(tree_fn, sharding: NamedSharding):
     """Build a device-resident pytree (e.g. an initial recurrent state) as a
     GLOBAL computation: correct under multi-process meshes, where pieces of

@@ -60,7 +60,13 @@ from vpt_tpu.models.heads import (
     head_specs_from_space,
 )
 from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
-from vpt_tpu.parallel.mesh import batch_sharded, make_mesh, replicated
+from vpt_tpu.parallel.mesh import (
+    batch_sharded,
+    local_batch_rows,
+    make_mesh,
+    place_local_batch,
+    replicated,
+)
 from vpt_tpu.spaces import DictType
 from vpt_tpu.utils.metrics import MetricsLogger
 
@@ -279,6 +285,12 @@ class PPOTrainer:
         trajectory buffer the update consumes, plus (obs, firsts) to thread
         into the next collect call.
 
+        ``envs`` are the streams THIS HOST owns.  Multi-host (after
+        ``maybe_initialize_distributed``): every process calls collect in
+        lockstep with the same stream count; each device step runs over the
+        global (all-host) batch, and the returned buffer holds the local
+        rows.
+
         With ``hp.n_collect_groups > 1`` the streams run as round-robin
         groups: host work for one group overlaps device compute (and D2H
         transfers) of the others — the serving runtime's latency-hiding
@@ -307,15 +319,20 @@ class PPOTrainer:
         from."""
         hp = self.hp
         G = max(1, hp.n_collect_groups)
+        # envs are the streams THIS HOST owns; the device batch is global
+        # (every process contributes its own rows via place_local_batch)
+        nproc = jax.process_count()
         b, t_len = len(envs), hp.rollout_len
         assert b % G == 0, (b, G)
         gb = b // G
+        gb_global = gb * nproc
         n_data = int(np.prod([
             self.mesh.shape[a] for a in ("dp", "fsdp") if a in self.mesh.axis_names
         ]))
-        assert gb % max(n_data, 1) == 0, (
-            f"streams/groups = {gb} must divide over the mesh's {n_data} "
-            f"data-parallel devices (streams={b}, n_collect_groups={G})"
+        assert gb % max(n_data // nproc, 1) == 0, (
+            f"per-host streams/groups = {gb} must divide over the mesh's "
+            f"{n_data // nproc} local data-parallel devices "
+            f"(local streams={b}, n_collect_groups={G})"
         )
         data_sh = batch_sharded(self.mesh)
         repl = replicated(self.mesh)
@@ -328,13 +345,17 @@ class PPOTrainer:
             firsts = np.zeros(b, bool)
         firsts = np.asarray(firsts, bool).copy()
         if getattr(self, "_group_states", None) is None:
-            self._group_states = [
-                jax.tree.map(
-                    lambda x: jax.device_put(x, repl if x.ndim == 0 else data_sh),
-                    policy_initial_state(self.cfg, gb, ring=ring),
-                )
-                for _ in range(G)
-            ]
+            # built as a GLOBAL computation: under multi-host meshes a
+            # device_put of host zeros can't reach other hosts' devices
+            def make_state():
+                return policy_initial_state(self.cfg, gb_global, ring=ring)
+
+            sh_tree = jax.tree.map(
+                lambda s: repl if len(s.shape) == 0 else data_sh,
+                jax.eval_shape(make_state),
+            )
+            make_jit = jax.jit(make_state, out_shardings=sh_tree)
+            self._group_states = [make_jit() for _ in range(G)]
 
         # per-group window-start snapshots → one (B, …) linear-layout state
         snapshots = []
@@ -366,8 +387,8 @@ class PPOTrainer:
             img = self._resize(obs[sl])
             buf["frames"][sl, t] = img
             buf["firsts"][sl, t] = firsts[sl]
-            img_d = jax.device_put(img, data_sh)
-            first_d = jax.device_put(firsts[sl], data_sh)
+            img_d = place_local_batch(img, data_sh)
+            first_d = place_local_batch(firsts[sl], data_sh)
             action, logp, vpred, self._group_states[g], self._rng = self._act(
                 self.variables, img_d, first_d, self._group_states[g], self._rng
             )
@@ -382,11 +403,13 @@ class PPOTrainer:
             t, action, logp, vpred = pending[g]
             pending[g] = None
             sl = slices[g]
-            action = {k: np.asarray(v) for k, v in action.items()}
+            # multi-host: the act outputs are global (gb_global, …) arrays;
+            # this host's env rows are exactly its addressable shards
+            action = {k: local_batch_rows(v) for k, v in action.items()}
             buf["buttons"][sl, t] = action["buttons"][:, 0]
             buf["camera"][sl, t] = action["camera"][:, 0]
-            buf["logp_old"][sl, t] = np.asarray(logp)
-            buf["values"][sl, t] = np.asarray(vpred)
+            buf["logp_old"][sl, t] = local_batch_rows(logp)
+            buf["values"][sl, t] = local_batch_rows(vpred)
             env_actions = self._agent_action_to_env(action)
             group_envs = envs[sl]
             next_firsts = np.zeros(gb, bool)
@@ -414,14 +437,14 @@ class PPOTrainer:
         last_handles = []
         for g in range(G):
             sl = slices[g]
-            img_d = jax.device_put(self._resize(obs[sl]), data_sh)
-            first_d = jax.device_put(firsts[sl], data_sh)
+            img_d = place_local_batch(self._resize(obs[sl]), data_sh)
+            first_d = place_local_batch(firsts[sl], data_sh)
             _, _, last_value, _, self._rng = self._act(
                 self.variables, img_d, first_d,
                 jax.tree.map(jnp.copy, self._group_states[g]), self._rng
             )
             last_handles.append(last_value)
-        buf["last_value"] = np.concatenate([np.asarray(v) for v in last_handles])
+        buf["last_value"] = np.concatenate([local_batch_rows(v) for v in last_handles])
         buf["last_first"] = firsts.copy()
         buf["initial_state"] = initial_state
         return buf, obs, firsts
@@ -592,8 +615,8 @@ class PPOTrainer:
         data_sh = batch_sharded(self.mesh)
         prepared = []
         for entry in self._aux_buffer:
-            frames = jax.device_put(entry["frames"], data_sh)
-            firsts = jax.device_put(entry["firsts"], data_sh)
+            frames = place_local_batch(entry["frames"], data_sh)
+            firsts = place_local_batch(entry["firsts"], data_sh)
             old_logits = self._anchor_forward(
                 self.variables["params"], self.variables["stats"],
                 frames, firsts, entry["initial_state"],
@@ -602,7 +625,7 @@ class PPOTrainer:
                 {
                     "frames": frames,
                     "firsts": firsts,
-                    "returns": jax.device_put(entry["returns"], data_sh),
+                    "returns": place_local_batch(entry["returns"], data_sh),
                     "old_logits": old_logits,
                 },
                 entry["initial_state"],
@@ -636,26 +659,41 @@ class PPOTrainer:
         }
 
     def update(self, traj: Dict[str, np.ndarray]) -> Dict[str, float]:
-        """PPO epochs over one collected trajectory batch; returns metrics."""
+        """PPO epochs over one collected trajectory batch; returns metrics.
+
+        Multi-host: ``traj`` holds THIS host's stream rows; every process
+        calls update() in lockstep, the rows assemble into one global batch,
+        and the statistics that feed replicated state (advantage
+        normalization, the value head's EWMA fold) are computed over the
+        all-host gather so every process applies identical updates."""
         self.init()
         hp = self.hp
-        b = traj["frames"].shape[0]
-        assert b % hp.n_minibatches == 0, (b, hp.n_minibatches)
+        nproc = jax.process_count()
+        b = traj["frames"].shape[0]          # this host's streams
+        assert (b * nproc) % hp.n_minibatches == 0, (b, nproc, hp.n_minibatches)
         data_sh = batch_sharded(self.mesh)
 
+        # GAE is per-stream math — local rows suffice
         adv, returns = compute_gae(
             jnp.asarray(traj["rewards"]), jnp.asarray(traj["values"]),
             jnp.asarray(traj["firsts"]), jnp.asarray(traj["last_value"]),
             jnp.asarray(traj["last_first"]), hp.gamma, hp.lam,
         )
         adv, returns = np.asarray(adv), np.asarray(returns)
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+
+            adv_all = multihost_utils.process_allgather(adv, tiled=True)
+            returns_all = multihost_utils.process_allgather(returns, tiled=True)
+        else:
+            adv_all, returns_all = adv, returns
         if hp.normalize_advantages:
-            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+            adv = (adv - adv_all.mean()) / (adv_all.std() + 1e-8)
 
-        self._fold_return_stats(returns)
+        self._fold_return_stats(returns_all)
 
-        frames_d = jax.device_put(traj["frames"], data_sh)
-        firsts_d = jax.device_put(traj["firsts"], data_sh)
+        frames_d = place_local_batch(traj["frames"], data_sh)
+        firsts_d = place_local_batch(traj["firsts"], data_sh)
         initial_state = traj["initial_state"]
         anchor_logits = self._anchor_forward(
             self.anchor_params, self.variables["stats"], frames_d, firsts_d, initial_state
@@ -664,28 +702,35 @@ class PPOTrainer:
         batch = {
             "frames": frames_d,
             "firsts": firsts_d,
-            "buttons": jax.device_put(traj["buttons"], data_sh),
-            "camera": jax.device_put(traj["camera"], data_sh),
-            "logp_old": jax.device_put(traj["logp_old"], data_sh),
-            "adv": jax.device_put(adv.astype(np.float32), data_sh),
-            "returns": jax.device_put(returns.astype(np.float32), data_sh),
+            "buttons": place_local_batch(traj["buttons"], data_sh),
+            "camera": place_local_batch(traj["camera"], data_sh),
+            "logp_old": place_local_batch(traj["logp_old"], data_sh),
+            "adv": place_local_batch(adv.astype(np.float32), data_sh),
+            "returns": place_local_batch(returns.astype(np.float32), data_sh),
             "anchor_logits": anchor_logits,
         }
 
         # all epochs run device-side in one jitted call (permutation, gather,
-        # and optimizer steps) — no per-epoch host round trips
+        # and optimizer steps) — no per-epoch host round trips.  The
+        # initial_state from collect is already a global device array; only
+        # re-place it in the single-host case (callers may pass host trees)
+        if nproc == 1:
+            initial_state = jax.device_put(initial_state, data_sh)
         self._rng, update_key = jax.random.split(self._rng)
         self.variables, self.opt_state, last_aux = self._ppo_update(
             self.variables, self.opt_state, batch,
-            jax.device_put(initial_state, data_sh),
+            initial_state,
             jnp.float32(self.kl_coef), update_key,
         )
         self.kl_coef *= hp.kl_decay
         self.update_count += 1
         metrics = {k: float(v) for k, v in last_aux.items()}
         metrics.update(
+            # local means: every host has the same stream count, so the
+            # global means are the all-host averages of these (logged per
+            # rank; rank 0's line is the canonical record)
             mean_reward=float(traj["rewards"].mean()),
-            mean_return=float(returns.mean()),
+            mean_return=float(returns_all.mean()),
             kl_coef=self.kl_coef,
         )
         if hp.aux_phase_every:
@@ -715,7 +760,14 @@ class PPOTrainer:
     def save_checkpoint(self, directory: str) -> None:
         """Preemption-safe snapshot: policy + frozen anchor + optimizer
         moments + (kl_coef, update_count, rng) — everything a resumed run
-        needs to continue the anneal exactly."""
+        needs to continue the anneal exactly.
+
+        Multi-host: the train state is replicated (PPO has no per-rank data
+        cursor — env streams restart on resume), so rank 0 writes and the
+        other ranks no-op; ``resume`` reads the same shared directory on
+        every rank."""
+        if jax.process_index() > 0:
+            return
         from vpt_tpu.checkpoint import native as native_ckpt
 
         trees, opt = self._ckpt_trees()
@@ -816,6 +868,6 @@ class PPOTrainer:
         finally:
             for sig, handler in old_handlers.items():
                 signal.signal(sig, handler)
-        if out_weights:
+        if out_weights and jax.process_index() == 0:
             save_weights(out_weights, jax.tree.map(np.asarray, self.variables))
         return report
