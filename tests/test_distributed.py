@@ -151,6 +151,116 @@ _BC_WORKER = textwrap.dedent(
 )
 
 
+_FSDP_CKPT_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, %(repo)r)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from vpt_tpu.parallel.mesh import (
+        host_tree, maybe_initialize_distributed, make_mesh,
+    )
+    from vpt_tpu.training.bc import BCHyperparams, BCTrainer
+
+    TINY = dict(
+        hidsize=64, impala_width=1, impala_chans=[4, 8], img_shape=[32, 32, 3],
+        init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+        impala_kwargs={"post_pool_groups": 1}, n_recurrence_layers=2,
+        timesteps=4, attention_heads=4, attention_memory_size=8,
+        recurrence_type="transformer", attention_mask_style="clipped_causal",
+        use_pre_lstm_ln=False, obs_processing_width=32,
+    )
+
+    if __name__ == "__main__":
+        nproc = int(os.environ.get("NUM_PROCESSES", "1"))
+        if nproc > 1:
+            assert maybe_initialize_distributed()
+        pid = jax.process_index()
+        mesh = make_mesh(n_fsdp=4)   # ZeRO-3 axis CROSSES the process boundary
+        assert mesh.devices.size == 4, mesh.devices
+
+        hp = BCHyperparams(batch_size=4, chunk_len=4)  # GLOBAL batch
+        trainer = BCTrainer(TINY, {"temperature": 2.0}, hp=hp, mesh=mesh)
+        trainer.init()
+        if nproc > 1:
+            # the point of the test: at least one leaf is NOT addressable
+            leaves = jax.tree.leaves(trainer.variables["params"])
+            assert any(not l.is_fully_addressable for l in leaves)
+
+        rng = np.random.default_rng(9)
+        local_b = hp.batch_size // nproc
+        rows = slice(pid * local_b, (pid + 1) * local_b)
+        gframes = rng.integers(0, 255, (4, 4, 32, 32, 3), dtype=np.uint8)
+        gbuttons = rng.integers(0, 8641, (4, 4)).astype(np.int32)
+        gcamera = rng.integers(0, 121, (4, 4)).astype(np.int32)
+        batch = {
+            "frames": gframes[rows], "buttons": gbuttons[rows],
+            "camera": gcamera[rows],
+            "firsts": np.zeros((local_b, 4), bool),
+            "mask": np.ones((local_b, 4), bool),
+        }
+        state = trainer.initial_state(hp.batch_size)
+        state, loss, _ = trainer.train_step(batch, state)
+
+        pulled = host_tree(trainer.variables)
+        digest = float(sum(np.abs(np.asarray(l, np.float64)).sum()
+                           for l in jax.tree.leaves(pulled)))
+        opt_digest = float(sum(np.abs(np.asarray(l, np.float64)).sum()
+                               for l in jax.tree.leaves(host_tree(trainer.opt_state))))
+        print(f"FSDP_CKPT {pid} {float(loss):.8f} {digest:.6f} {opt_digest:.6f}")
+    """
+)
+
+
+@pytest.mark.timeout(420)
+def test_two_process_fsdp_checkpoint_pull_matches_single(tmp_path):
+    """host_tree under a multi-host ZeRO-3 mesh: with fsdp crossing the
+    process boundary, parameter/optimizer leaves are not host-addressable —
+    host_tree must allgather them so a checkpoint written by rank 0 carries
+    the same values a single-process fsdp run would write."""
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "fsdp_worker.py"
+    script.write_text(_FSDP_CKPT_WORKER % {"repo": repo})
+
+    def run_cluster(nproc):
+        port = _free_port()
+        procs = []
+        for pid in range(nproc):
+            env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+            env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={4 // nproc}"
+            if nproc > 1:
+                env.update(
+                    COORDINATOR_ADDRESS=f"localhost:{port}",
+                    NUM_PROCESSES=str(nproc),
+                    PROCESS_ID=str(pid),
+                )
+            else:
+                env["NUM_PROCESSES"] = "1"
+            procs.append(subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            ))
+        out_by_pid = {}
+        for p in procs:
+            out, err = p.communicate(timeout=400)
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            for line in out.splitlines():
+                if line.startswith("FSDP_CKPT"):
+                    _, pid_s, *vals = line.split()
+                    out_by_pid[int(pid_s)] = [float(v) for v in vals]
+        return out_by_pid
+
+    single = run_cluster(1)[0]
+    multi = run_cluster(2)
+    np.testing.assert_allclose(multi[0], multi[1], rtol=0, atol=0)
+    np.testing.assert_allclose(multi[0], single, rtol=1e-6, atol=1e-4)
+
+
 _PPO_WORKER = textwrap.dedent(
     """
     import os, sys

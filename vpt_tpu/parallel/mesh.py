@@ -167,6 +167,29 @@ def local_batch_rows(x) -> np.ndarray:
     return np.concatenate([by_start[k] for k in sorted(by_start)], axis=0)
 
 
+def host_tree(tree):
+    """Pull a device pytree to host numpy, multi-host aware.
+
+    Fully-addressable leaves (single host) and fully-replicated globals are a
+    plain ``np.asarray``.  A leaf SHARDED across hosts (multi-host fsdp/tp)
+    cannot be read directly — it is first allgathered device-side (a jitted
+    identity with a replicated out-sharding; jit caches by shape, and
+    checkpointing is rare) so every process sees the full value and rank-0
+    checkpoint writes serialize the whole tree."""
+
+    def pull(x):
+        if (
+            isinstance(x, jax.Array)
+            and not x.is_fully_addressable
+            and not x.is_fully_replicated
+        ):
+            repl = NamedSharding(x.sharding.mesh, P())
+            x = jax.jit(lambda a: a, out_shardings=repl)(x)
+        return np.asarray(x)
+
+    return jax.tree.map(pull, tree)
+
+
 def device_zeros_like_tree(tree_fn, sharding: NamedSharding):
     """Build a device-resident pytree (e.g. an initial recurrent state) as a
     GLOBAL computation: correct under multi-process meshes, where pieces of

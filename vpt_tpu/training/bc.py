@@ -42,6 +42,7 @@ from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
 from vpt_tpu.parallel.mesh import (
     batch_sharded,
     device_zeros_like_tree,
+    host_tree,
     make_mesh,
     place_local_batch,
     replicated,
@@ -225,7 +226,7 @@ class BCTrainer:
     def load_weights(self, path: str):
         self.init()
         sd = load_weights(path)
-        self.variables, report = state_dict_to_variables(sd, variables=jax.tree.map(np.asarray, self.variables))
+        self.variables, report = state_dict_to_variables(sd, variables=host_tree(self.variables))
         self.variables = self._place_variables(self.variables)
         return report
 
@@ -497,8 +498,8 @@ class BCTrainer:
             # a bare orbax restore returns nested dicts/lists that the jitted
             # train step (and optimizer.update) cannot consume
             template = {
-                "variables": jax.tree.map(np.asarray, self.variables),
-                "opt_state": jax.tree.map(np.asarray, self.opt_state),
+                "variables": host_tree(self.variables),
+                "opt_state": host_tree(self.opt_state),
             }
             payload, data_state = native_ckpt.restore_checkpoint(resume_dir, template=template)
             if payload is not None:
@@ -613,8 +614,8 @@ class BCTrainer:
                         native_ckpt.save_checkpoint(
                             hp.checkpoint_dir,
                             self.step_count,
-                            jax.tree.map(np.asarray, self.variables),
-                            opt_state=jax.tree.map(np.asarray, self.opt_state),
+                            host_tree(self.variables),
+                            opt_state=host_tree(self.opt_state),
                             data_state=cursor,
                         )
                     else:
@@ -631,5 +632,5 @@ class BCTrainer:
             for sig, handler in old_handlers.items():
                 signal.signal(sig, handler)
         if pid == 0:
-            save_weights(out_weights, jax.tree.map(np.asarray, self.variables))
+            save_weights(out_weights, host_tree(self.variables))
         return self.step_count

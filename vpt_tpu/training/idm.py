@@ -58,6 +58,7 @@ from vpt_tpu.models.policy import (
 from vpt_tpu.parallel.mesh import (
     batch_sharded,
     device_zeros_like_tree,
+    host_tree,
     make_mesh,
     place_local_batch,
     replicated,
@@ -179,7 +180,7 @@ class IDMTrainer:
         self.init()
         sd = load_weights(path)
         self.variables, report = state_dict_to_variables(
-            sd, variables=jax.tree.map(np.asarray, self.variables)
+            sd, variables=host_tree(self.variables)
         )
         self.variables = self._place_variables(self.variables)
         return report
@@ -411,8 +412,8 @@ class IDMTrainer:
         resume_state = None
         if resume_dir:
             template = {
-                "variables": jax.tree.map(np.asarray, self.variables),
-                "opt_state": jax.tree.map(np.asarray, self.opt_state),
+                "variables": host_tree(self.variables),
+                "opt_state": host_tree(self.opt_state),
             }
             payload, data_state = native_ckpt.restore_checkpoint(resume_dir, template=template)
             if payload is not None:
@@ -506,8 +507,8 @@ class IDMTrainer:
                         native_ckpt.save_checkpoint(
                             hp.checkpoint_dir,
                             self.step_count,
-                            jax.tree.map(np.asarray, self.variables),
-                            opt_state=jax.tree.map(np.asarray, self.opt_state),
+                            host_tree(self.variables),
+                            opt_state=host_tree(self.opt_state),
                             data_state=cursor,
                         )
                     else:
@@ -524,5 +525,5 @@ class IDMTrainer:
             for sig, handler in old_handlers.items():
                 signal.signal(sig, handler)
         if pid == 0:
-            save_weights(out_weights, jax.tree.map(np.asarray, self.variables))
+            save_weights(out_weights, host_tree(self.variables))
         return self.step_count

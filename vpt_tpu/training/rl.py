@@ -62,6 +62,7 @@ from vpt_tpu.models.heads import (
 from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
 from vpt_tpu.parallel.mesh import (
     batch_sharded,
+    host_tree,
     local_batch_rows,
     make_mesh,
     place_local_batch,
@@ -238,7 +239,7 @@ class PPOTrainer:
         self.init()
         sd = load_weights(path)
         self.variables, report = state_dict_to_variables(
-            sd, variables=jax.tree.map(np.asarray, self.variables)
+            sd, variables=host_tree(self.variables)
         )
         self.variables = self._place_variables(self.variables)
         self.anchor_params = self._snapshot_anchor()
@@ -751,10 +752,10 @@ class PPOTrainer:
     def _ckpt_trees(self):
         return (
             {
-                "variables": jax.tree.map(np.asarray, self.variables),
-                "anchor_params": jax.tree.map(np.asarray, self.anchor_params),
+                "variables": host_tree(self.variables),
+                "anchor_params": host_tree(self.anchor_params),
             },
-            jax.tree.map(np.asarray, self.opt_state),
+            host_tree(self.opt_state),
         )
 
     def save_checkpoint(self, directory: str) -> None:
@@ -869,5 +870,5 @@ class PPOTrainer:
             for sig, handler in old_handlers.items():
                 signal.signal(sig, handler)
         if out_weights and jax.process_index() == 0:
-            save_weights(out_weights, jax.tree.map(np.asarray, self.variables))
+            save_weights(out_weights, host_tree(self.variables))
         return report
