@@ -172,6 +172,15 @@ class IDMAgent:
 
         :returns: MineRL action dict with (B, N) leading dims.
         """
+        return self.collect_actions(self.dispatch_actions_batched(windows))
+
+    def dispatch_actions_batched(self, windows: np.ndarray):
+        """Async half of :meth:`predict_actions_batched`: launch the jitted
+        forward and return the device handles WITHOUT blocking.  jax dispatch
+        is asynchronous, so the host returns immediately while the device
+        labels — callers overlap video decode of the next windows with the
+        compute of these (StreamingIDMLabeler double-buffers on exactly this).
+        Pair with :meth:`collect_actions`."""
         self._ensure_variables()
         self._maybe_quantize()
         b = windows.shape[0]
@@ -196,7 +205,17 @@ class IDMAgent:
                 first = jax.device_put(first, data_sh)
                 state = jax.device_put(state, batch_sharded(self.mesh))
         action, _, _ = self._forward(self.variables, img, first, state)
-        return self._agent_action_to_env(jax.tree.map(np.asarray, action))
+        for x in action.values():
+            try:
+                x.copy_to_host_async()
+            except Exception:
+                pass  # backend without async D2H: collect_actions still works
+        return action
+
+    def collect_actions(self, handle) -> Dict[str, np.ndarray]:
+        """Blocking half of :meth:`dispatch_actions_batched`: read the device
+        results back and decode to the MineRL action dict."""
+        return self._agent_action_to_env(jax.tree.map(np.asarray, handle))
 
 
 class StreamingIDMLabeler:
@@ -252,28 +271,46 @@ class StreamingIDMLabeler:
         self._n_fed = 0
         self._emitted = 0                     # next global index to emit
         self._pending = []                    # (win_start, (N,h,w,3)) windows
+        self._inflight = []                   # [(group, device handle)], ≤ 1
 
     def _resize(self, frame: np.ndarray) -> np.ndarray:
         shape = self.agent.cfg.img_shape
         return resize_image(frame, (shape[1], shape[0]))
 
+    def _harvest_one(self, out):
+        """Block on the oldest in-flight group's device results and emit its
+        owned labels."""
+        group, handle = self._inflight.pop(0)
+        actions = self.agent.collect_actions(handle)
+        for row, (win_start, _) in enumerate(group):
+            begin = max(self._emitted, 0 if win_start == 0 else win_start + self._lo)
+            end = win_start + self._lo + self.stride
+            out.extend(
+                (i, {k: v[row, i - win_start] for k, v in actions.items()})
+                for i in range(begin, end)
+            )
+            self._emitted = max(self._emitted, end)
+
     def _label_pending(self, flush: bool = False):
-        """Run full window_batch groups (all pending when flushing)."""
+        """Dispatch full window_batch groups (all pending when flushing),
+        double-buffered: one group stays in flight on the device while the
+        caller decodes the next stride of video — the host decode and the
+        device forward overlap, so end-to-end labeling runs at
+        max(decode, compute) instead of their sum.  Emission order is
+        unchanged (groups harvest FIFO, one behind dispatch)."""
         out = []
         while self._pending and (flush or len(self._pending) >= self.window_batch):
             group = self._pending[: self.window_batch]
             del self._pending[: self.window_batch]
-            actions = self.agent.predict_actions_batched(
+            handle = self.agent.dispatch_actions_batched(
                 np.stack([w for _, w in group])
             )
-            for row, (win_start, _) in enumerate(group):
-                begin = max(self._emitted, 0 if win_start == 0 else win_start + self._lo)
-                end = win_start + self._lo + self.stride
-                out.extend(
-                    (i, {k: v[row, i - win_start] for k, v in actions.items()})
-                    for i in range(begin, end)
-                )
-                self._emitted = max(self._emitted, end)
+            self._inflight.append((group, handle))
+            while len(self._inflight) > 1:
+                self._harvest_one(out)
+        if flush:
+            while self._inflight:
+                self._harvest_one(out)
         return out
 
     def feed(self, frame: np.ndarray):
