@@ -385,6 +385,51 @@ def bench_ppo_collect(n_streams: int = 64, rollout_len: int = 64, width: int = 2
     return n_streams * rollout_len * n_windows / dt
 
 
+def bench_idm_e2e(window: int = 128, stride: int = 64, window_batch: int = 8,
+                  compute_dtype: str = "bfloat16", n_frames: int = 1024) -> float:
+    """Whole-system labeling: native H.264 decode → resize → overlap-stitched
+    batched IDM windows through StreamingIDMLabeler — the double-buffered
+    path where host decode overlaps device compute (one window-batch stays in
+    flight while the next stride decodes).  The device-only ceiling is
+    ``--metric idm``; the gap between them is the host data plane."""
+    from vpt_tpu.agent import IDMAgent
+    from vpt_tpu.agent.idm import StreamingIDMLabeler
+    from vpt_tpu.data.video import VideoReader, VideoWriter
+
+    path = f"/tmp/vpt_bench_idm_e2e_{n_frames}.mp4"
+    if not os.path.exists(path):
+        rng = np.random.default_rng(0)
+        # moderate-entropy frames: all-noise H.264 decodes unrealistically
+        # slowly, flat frames unrealistically fast — tile a noise pool
+        pool = [rng.integers(0, 255, (360, 640, 3), dtype=np.uint8) for _ in range(8)]
+        with VideoWriter(path, 640, 360, fps=20) as w:
+            for i in range(n_frames):
+                w.write(pool[i % len(pool)])
+
+    agent = IDMAgent(idm_net_kwargs=IDM_4X_KWARGS, pi_head_kwargs={"temperature": 1.0},
+                     compute_dtype=compute_dtype)
+    agent._ensure_variables()
+
+    def run_once() -> float:
+        labeler = StreamingIDMLabeler(agent, window=window, stride=stride,
+                                      window_batch=window_batch)
+        n, labeled = 0, 0
+        t0 = time.perf_counter()
+        with VideoReader(path) as cap:
+            while True:
+                frame = cap.read()
+                if frame is None:
+                    break
+                n += 1
+                labeled += len(labeler.feed(frame))
+            labeled += len(labeler.finish())
+        assert labeled == n, (labeled, n)
+        return n / (time.perf_counter() - t0)
+
+    run_once()          # compile + warm
+    return run_once()
+
+
 def bench_torch_baseline(n_streams: int = N_STREAMS, width: int = 2) -> float:
     """Same architecture, reference framework (torch), available hardware (CPU)."""
     from bench_torch_ref import measure_policy_step_fps
@@ -534,7 +579,8 @@ def main():
     ap.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--remeasure-baseline", action="store_true")
     ap.add_argument("--metric", default="suite",
-                    choices=["suite", "rollout", "rollout-e2e", "idm", "bc", "ppo-collect"])
+                    choices=["suite", "rollout", "rollout-e2e", "idm", "idm-e2e",
+                             "bc", "ppo-collect"])
     ap.add_argument("--groups", type=int, default=1,
                     help="ppo-collect: round-robin collection groups (pipelined when >1)")
     ap.add_argument("--window-batch", type=int, default=1,
@@ -617,6 +663,19 @@ def main():
         print(json.dumps(result_idm(ceiling, compute_dtype=args.compute_dtype,
                                     quantize_dense=args.quantize_dense,
                                     window_batch=args.window_batch)))
+        return
+
+    if args.metric == "idm-e2e":
+        wb = args.window_batch if args.window_batch != 1 else 8
+        fps = bench_idm_e2e(window_batch=wb, compute_dtype=args.compute_dtype)
+        print(json.dumps({
+            "metric": f"end-to-end IDM labeling (decode+resize+label), 4x arch, "
+                      f"window 128 stride 64, {wb} windows/forward",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": None,
+            "note": "host-decode-bound on few-core hosts; device ceiling is --metric idm",
+        }))
         return
 
     args.width = args.width or 2
