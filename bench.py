@@ -583,8 +583,9 @@ def main():
                              "bc", "ppo-collect"])
     ap.add_argument("--groups", type=int, default=1,
                     help="ppo-collect: round-robin collection groups (pipelined when >1)")
-    ap.add_argument("--window-batch", type=int, default=1,
-                    help="idm: independent 128-frame windows stacked per forward")
+    ap.add_argument("--window-batch", type=int, default=None,
+                    help="idm: independent 128-frame windows stacked per forward "
+                         "(default 1 for --metric idm, 8 for idm-e2e)")
     ap.add_argument("--batch", type=int, default=None,
                     help="bc: training batch size (default 8, the reference's)")
     ap.add_argument("--chunk", type=int, default=None,
@@ -605,7 +606,7 @@ def main():
         ignored = [flag for flag, on in [
             ("--quantize-dense", args.quantize_dense),
             ("--params-dtype", args.params_dtype != "float32"),
-            ("--window-batch", args.window_batch != 1),
+            ("--window-batch", args.window_batch is not None),
             ("--groups", args.groups != 1),
             ("--width", args.width is not None),
             ("--batch", args.batch is not None),
@@ -662,11 +663,11 @@ def main():
     if args.metric == "idm":
         print(json.dumps(result_idm(ceiling, compute_dtype=args.compute_dtype,
                                     quantize_dense=args.quantize_dense,
-                                    window_batch=args.window_batch)))
+                                    window_batch=args.window_batch or 1)))
         return
 
     if args.metric == "idm-e2e":
-        wb = args.window_batch if args.window_batch != 1 else 8
+        wb = args.window_batch or 8
         fps = bench_idm_e2e(window_batch=wb, compute_dtype=args.compute_dtype)
         print(json.dumps({
             "metric": f"end-to-end IDM labeling (decode+resize+label), 4x arch, "

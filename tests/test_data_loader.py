@@ -375,13 +375,14 @@ def test_sequence_loader_shard_resume_cursor(tmp_path):
 
     interrupted = SequenceDataLoader(str(tmp_path), **kw)
     head = []
+    state = None
     try:
         it = iter(interrupted)
         head.append(next(it))
         state = interrupted.state()
     finally:
         interrupted.close()
-    assert state["shard"] == [1, 2], state
+    assert state is not None and state["shard"] == [1, 2], state
 
     tail = _collect(SequenceDataLoader(str(tmp_path), **kw, resume_state=state))
     resumed = head + tail

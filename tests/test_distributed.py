@@ -291,6 +291,10 @@ _PPO_WORKER = textwrap.dedent(
         mesh = make_mesh()
         assert mesh.devices.size == 4, mesh.devices
 
+        # ONE collection group: with G>1 the single- and multi-process runs
+        # compose groups from different stream subsets, so their sampled
+        # actions legitimately diverge — the G>1 state/batch row pairing is
+        # covered by test_rl.py::test_groups_to_process_major_pairs_rows
         local_streams = 4 // nproc
         hp = PPOHyperparams(rollout_len=4, n_epochs=2, n_minibatches=2,
                             aux_phase_every=2, aux_epochs=1)

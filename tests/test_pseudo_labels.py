@@ -159,8 +159,9 @@ def test_sequence_loader_labels_dir(tmp_path):
     assert len(batches) == 2  # 8 labeled frames per stream / chunk 4
     for b in batches:
         assert b["frames"].shape == (2, 4, 32, 32, 3)
-        # attack=1 every step → never the all-noop joint index
-        assert (b["buttons"] >= 0).all()
+        # attack=1 every step → never the all-"none" joint combo, which is
+        # buttons index 0 (CameraHierarchicalMapping.get_zero_action)
+        assert (b["buttons"] != 0).all()
         assert b["mask"].all()
 
 

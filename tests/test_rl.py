@@ -415,3 +415,31 @@ def test_grouped_collect_update_end_to_end():
     metrics = trainer.update(traj)
     for key in ("loss", "pg_loss", "v_loss", "approx_kl", "clip_frac"):
         assert np.isfinite(metrics[key]), (key, metrics)
+
+
+def test_groups_to_process_major_pairs_rows():
+    """The multi-host G>1 state permutation: encode each collected-state row
+    as (group, process, local_index) in group-major concat order — the
+    permuted rows must follow the update batch's process-major layout
+    ([h0: g0,g1 | h1: g0,g1]), and G==1 / nproc==1 must be identities."""
+    import jax.numpy as jnp
+
+    from vpt_tpu.training.rl import groups_to_process_major
+
+    G, P, gb = 3, 2, 4
+    rows = np.asarray([
+        [g, p, i] for g in range(G) for p in range(P) for i in range(gb)
+    ], np.int32)
+    got = np.asarray(groups_to_process_major(jnp.asarray(rows), G, P, gb))
+    want = np.asarray([
+        [g, p, i] for p in range(P) for g in range(G) for i in range(gb)
+    ], np.int32)
+    np.testing.assert_array_equal(got, want)
+
+    # identities (single group / single process)
+    for g_, p_ in ((1, 4), (4, 1)):
+        n = g_ * p_ * 2
+        x = jnp.arange(n * 3).reshape(n, 3)
+        np.testing.assert_array_equal(
+            np.asarray(groups_to_process_major(x, g_, p_, 2)), np.asarray(x)
+        )

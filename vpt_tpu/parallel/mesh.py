@@ -167,15 +167,31 @@ def local_batch_rows(x) -> np.ndarray:
     return np.concatenate([by_start[k] for k in sorted(by_start)], axis=0)
 
 
+# one jitted allgather-identity per mesh: jit caches compiled programs by
+# input shape/dtype/sharding only under a FIXED function object — a fresh
+# jax.jit(lambda …) per call would recompile per leaf per checkpoint
+_REPL_IDENTITY_CACHE: dict = {}
+
+
+def _repl_identity(mesh: Mesh):
+    fn = _REPL_IDENTITY_CACHE.get(mesh)
+    if fn is None:
+        fn = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
+        _REPL_IDENTITY_CACHE[mesh] = fn
+    return fn
+
+
 def host_tree(tree):
     """Pull a device pytree to host numpy, multi-host aware.
 
     Fully-addressable leaves (single host) and fully-replicated globals are a
     plain ``np.asarray``.  A leaf SHARDED across hosts (multi-host fsdp/tp)
-    cannot be read directly — it is first allgathered device-side (a jitted
-    identity with a replicated out-sharding; jit caches by shape, and
-    checkpointing is rare) so every process sees the full value and rank-0
-    checkpoint writes serialize the whole tree."""
+    cannot be read directly — it is first allgathered device-side (a cached
+    jitted identity with a replicated out-sharding) so every process sees the
+    full value and rank-0 checkpoint writes serialize the whole tree.
+
+    COLLECTIVE under multi-host sharding: every process must call this in
+    lockstep (callers gate only the file WRITE on the rank, never this)."""
 
     def pull(x):
         if (
@@ -183,8 +199,7 @@ def host_tree(tree):
             and not x.is_fully_addressable
             and not x.is_fully_replicated
         ):
-            repl = NamedSharding(x.sharding.mesh, P())
-            x = jax.jit(lambda a: a, out_shardings=repl)(x)
+            x = _repl_identity(x.sharding.mesh)(x)
         return np.asarray(x)
 
     return jax.tree.map(pull, tree)

@@ -515,8 +515,13 @@ class BCTrainer:
                         # this process's own shard cursor (written alongside
                         # process 0's full checkpoint); keep process 0's
                         # step_count if the shard cursor is missing
+                        # pinned to the STEP rank 0's restore actually
+                        # picked: the shard dir's latest may be newer when a
+                        # preemption landed between the ranks' writes, which
+                        # would silently desync the data shards
                         shard_state = native_ckpt.restore_data_state(
-                            os.path.join(resume_dir, f"shard{pid}")
+                            os.path.join(resume_dir, f"shard{pid}"),
+                            step=data_state.get("step_count"),
                         )
                         data_state = shard_state or {
                             k: data_state[k]
@@ -607,15 +612,18 @@ class BCTrainer:
                 )
                 if checkpoint_now or (stop_requested["flag"] and hp.checkpoint_dir):
                     cursor = {**data_cursor, "step_count": self.step_count}
+                    # host_tree runs on EVERY rank: when fsdp/tp shards cross
+                    # hosts it issues a global-mesh allgather, and a collective
+                    # entered by rank 0 alone would deadlock the pod — only
+                    # the file write is rank-gated
+                    vars_host = host_tree(self.variables)
+                    opt_host = host_tree(self.opt_state)
                     if pid == 0:
-                        # replicated train state: host copies are identical,
-                        # one writer suffices (np.asarray pulls the local
-                        # replica of each fully-replicated global array)
                         native_ckpt.save_checkpoint(
                             hp.checkpoint_dir,
                             self.step_count,
-                            host_tree(self.variables),
-                            opt_state=host_tree(self.opt_state),
+                            vars_host,
+                            opt_state=opt_host,
                             data_state=cursor,
                         )
                     else:
@@ -631,6 +639,7 @@ class BCTrainer:
             loader.close()
             for sig, handler in old_handlers.items():
                 signal.signal(sig, handler)
+        final_vars = host_tree(self.variables)  # all ranks join the allgather
         if pid == 0:
-            save_weights(out_weights, host_tree(self.variables))
+            save_weights(out_weights, final_vars)
         return self.step_count

@@ -426,8 +426,13 @@ class IDMTrainer:
                 )
                 if data_state:
                     if pid > 0:
+                        # pinned to the STEP rank 0's restore actually
+                        # picked: the shard dir's latest may be newer when a
+                        # preemption landed between the ranks' writes, which
+                        # would silently desync the data shards
                         shard_state = native_ckpt.restore_data_state(
-                            os.path.join(resume_dir, f"shard{pid}")
+                            os.path.join(resume_dir, f"shard{pid}"),
+                            step=data_state.get("step_count"),
                         )
                         data_state = shard_state or {
                             k: data_state[k]
@@ -485,7 +490,9 @@ class IDMTrainer:
                 data_cursor = batch.pop("_cursor")
                 loss, grad_norm = self.train_step(batch, state)
                 loss_sum += float(loss)
-                frames_seen += int(np.asarray(batch["mask"]).sum())
+                # global SPMD sum, NOT np.asarray: the mask is a global array
+                # whose shards span other hosts under multi-process meshes
+                frames_seen += int(batch["mask"].sum())
                 if self.step_count % hp.loss_report_rate == 0:
                     dt = time.time() - start
                     metrics.log(
@@ -503,12 +510,16 @@ class IDMTrainer:
                 )
                 if checkpoint_now or (stop_requested["flag"] and hp.checkpoint_dir):
                     cursor = {**data_cursor, "step_count": self.step_count}
+                    # host_tree on EVERY rank (cross-host fsdp/tp leaves
+                    # allgather collectively); only the write is rank-gated
+                    vars_host = host_tree(self.variables)
+                    opt_host = host_tree(self.opt_state)
                     if pid == 0:
                         native_ckpt.save_checkpoint(
                             hp.checkpoint_dir,
                             self.step_count,
-                            host_tree(self.variables),
-                            opt_state=host_tree(self.opt_state),
+                            vars_host,
+                            opt_state=opt_host,
                             data_state=cursor,
                         )
                     else:
@@ -524,6 +535,7 @@ class IDMTrainer:
             loader.close()
             for sig, handler in old_handlers.items():
                 signal.signal(sig, handler)
+        final_vars = host_tree(self.variables)  # all ranks join the allgather
         if pid == 0:
-            save_weights(out_weights, host_tree(self.variables))
+            save_weights(out_weights, final_vars)
         return self.step_count

@@ -139,6 +139,22 @@ def compute_gae(rewards, values, firsts, last_value, last_first,
     return advantages, advantages + values
 
 
+def groups_to_process_major(x, n_groups: int, n_procs: int, gb_local: int):
+    """Reorder collected-state rows from GROUP-major to PROCESS-major.
+
+    With pipelined collection, group g's global act batch holds
+    [host0's gb_local streams of g | host1's | …], so concatenating the G
+    group snapshots lays rows out [g0: h0,h1 | g1: h0,h1].  The update's
+    global batch (``place_local_batch`` of each host's [g0,g1,…] buffer) is
+    [h0: g0,g1 | h1: g0,g1].  This permutation makes state row i pair with
+    batch row i; it is the identity when n_groups == 1 or n_procs == 1."""
+    return (
+        x.reshape((n_groups, n_procs, gb_local) + x.shape[1:])
+        .swapaxes(0, 1)
+        .reshape((-1,) + x.shape[1:])
+    )
+
+
 def make_ppo_optimizer(hp: PPOHyperparams) -> optax.GradientTransformation:
     steps = [optax.clip_by_global_norm(hp.max_grad_norm)]
     if hp.weight_decay:
@@ -370,6 +386,10 @@ class PPOTrainer:
         initial_state = jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *snapshots
         )
+        if nproc > 1 and G > 1:
+            initial_state = jax.tree.map(
+                lambda x: groups_to_process_major(x, G, nproc, gb), initial_state
+            )
 
         buf = {
             "frames": np.zeros((b, t_len) + tuple(self.cfg.img_shape), np.uint8),
@@ -763,15 +783,16 @@ class PPOTrainer:
         moments + (kl_coef, update_count, rng) — everything a resumed run
         needs to continue the anneal exactly.
 
-        Multi-host: the train state is replicated (PPO has no per-rank data
-        cursor — env streams restart on resume), so rank 0 writes and the
-        other ranks no-op; ``resume`` reads the same shared directory on
-        every rank."""
-        if jax.process_index() > 0:
-            return
+        Multi-host: every rank runs the host pull (under fsdp/tp the
+        cross-host leaves allgather COLLECTIVELY — a lone rank would
+        deadlock), then rank 0 alone writes; PPO has no per-rank data cursor
+        (env streams restart on resume), and ``resume`` reads the same shared
+        directory on every rank."""
         from vpt_tpu.checkpoint import native as native_ckpt
 
         trees, opt = self._ckpt_trees()
+        if jax.process_index() > 0:
+            return
         native_ckpt.save_checkpoint(
             directory,
             self.update_count,
@@ -869,6 +890,8 @@ class PPOTrainer:
         finally:
             for sig, handler in old_handlers.items():
                 signal.signal(sig, handler)
-        if out_weights and jax.process_index() == 0:
-            save_weights(out_weights, host_tree(self.variables))
+        if out_weights:
+            final_vars = host_tree(self.variables)  # all ranks: collective
+            if jax.process_index() == 0:
+                save_weights(out_weights, final_vars)
         return report
