@@ -101,6 +101,8 @@ _BC_WORKER = textwrap.dedent(
     sys.path.insert(0, %(repo)r)
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vpt")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import numpy as np
 
     from vpt_tpu.parallel.mesh import maybe_initialize_distributed, make_mesh
@@ -151,6 +153,141 @@ _BC_WORKER = textwrap.dedent(
 )
 
 
+_IDM_TRAIN_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, %(repo)r)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: without it every worker process recompiles
+    # the train step cold, which alone busts the test timeout on a 1-core CI
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vpt")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import numpy as np
+
+    from vpt_tpu.parallel.mesh import maybe_initialize_distributed, make_mesh
+
+    IDM_TINY = dict(
+        hidsize=64, impala_width=1, impala_chans=[4, 8], img_shape=[32, 32, 4],
+        init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
+        impala_kwargs={"post_pool_groups": 1}, n_recurrence_layers=2,
+        timesteps=8, attention_heads=4, attention_memory_size=16,
+        recurrence_type="transformer", attention_mask_style="none",
+        use_pre_lstm_ln=False, obs_processing_width=32,
+        conv3d_params={"inchan": 3, "outchan": 4,
+                       "kernel_size": [5, 1, 1], "padding": [2, 0, 0]},
+    )
+
+    # __main__ guard REQUIRED: the loader's spawn workers re-import this file
+    if __name__ == "__main__":
+        from vpt_tpu.checkpoint import load_weights
+        from vpt_tpu.training.idm import IDMHyperparams, IDMTrainer
+
+        nproc = int(os.environ.get("NUM_PROCESSES", "1"))
+        if nproc > 1:
+            assert maybe_initialize_distributed()
+        pid = jax.process_index()
+        mesh = make_mesh()
+        assert mesh.devices.size == 4, mesh.devices
+
+        ckpt_dir = os.path.join(%(out)r, f"ckpt{nproc}")
+        hp = IDMHyperparams(batch_size=4, window=4, epochs=1,
+                            checkpoint_dir=ckpt_dir, checkpoint_every=2)
+        trainer = IDMTrainer(IDM_TINY, {"temperature": 1.0}, hp=hp, mesh=mesh)
+        out_weights = os.path.join(%(out)r, f"idm{nproc}.weights")
+        steps = trainer.train(%(data)r, out_weights)
+
+        digest = float("nan")
+        if pid == 0:
+            w = load_weights(out_weights)
+            digest = float(sum(np.abs(np.asarray(v, np.float64)).sum()
+                               for v in w.values()))
+            # rank 0 wrote full checkpoints; other ranks only shard cursors
+            assert any(d.startswith("step_") for d in os.listdir(ckpt_dir)), ckpt_dir
+            if nproc > 1:
+                shard_dir = os.path.join(ckpt_dir, "shard1")
+                assert os.path.isdir(shard_dir), os.listdir(ckpt_dir)
+        print(f"IDM_TRAIN {pid} {steps} {digest:.6f}")
+    """
+)
+
+
+@pytest.mark.timeout(600)
+def test_two_process_idm_train_loop(tmp_path):
+    """The FULL IDMTrainer.train loop under a real 2-process cluster —
+    loader workers with disjoint shards, device prefetcher, mid-run
+    checkpoints (host_tree on every rank, write on rank 0, shard cursors on
+    rank 1), and the final weights — must reach the same step count and
+    weight digest as the single-process run."""
+    import json
+
+    import numpy as np
+
+    from vpt_tpu.data.video import VideoWriter, native_available
+
+    if not native_available():
+        pytest.skip("native video lib unavailable")
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for j in range(4):
+        with VideoWriter(str(data_dir / f"t{j}.mp4"), 64, 36, fps=20) as w:
+            for i in range(12):
+                w.write(rng.integers(0, 255, (36, 64, 3), dtype=np.uint8))
+        with open(data_dir / f"t{j}.jsonl", "w") as f:
+            for i in range(12):
+                f.write(json.dumps({
+                    "keyboard": {"keys": ["key.keyboard.w"] if (i + j) % 2 else []},
+                    "mouse": {"x": 0.0, "y": 0.0, "dx": float((i + j) % 5),
+                              "dy": 1.0, "buttons": [], "newButtons": []},
+                    "hotbar": 0, "isGuiOpen": False,
+                }) + "\n")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "idm_train_worker.py"
+    script.write_text(_IDM_TRAIN_WORKER % {
+        "repo": repo, "data": str(data_dir), "out": str(tmp_path),
+    })
+
+    def run_cluster(nproc):
+        port = _free_port()
+        procs = []
+        for pid in range(nproc):
+            env = {**os.environ, "JAX_PLATFORMS": "cpu",
+                   "VPT_QUEUE_TIMEOUT": "120"}
+            env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={4 // nproc}"
+            if nproc > 1:
+                env.update(
+                    COORDINATOR_ADDRESS=f"localhost:{port}",
+                    NUM_PROCESSES=str(nproc),
+                    PROCESS_ID=str(pid),
+                )
+            else:
+                env["NUM_PROCESSES"] = "1"
+            procs.append(subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            ))
+        results = {}
+        for p in procs:
+            out, err = p.communicate(timeout=560)
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            for line in out.splitlines():
+                if line.startswith("IDM_TRAIN"):
+                    _, pid_s, steps_s, digest_s = line.split()
+                    results[int(pid_s)] = (int(steps_s), float(digest_s))
+        return results
+
+    single = run_cluster(1)[0]
+    multi = run_cluster(2)
+    # same optimizer-step count on every rank and vs single-process
+    assert multi[0][0] == multi[1][0] == single[0] > 0
+    # rank 0's final weights match the single-process run
+    np.testing.assert_allclose(multi[0][1], single[1], rtol=1e-6)
+
+
 _FSDP_CKPT_WORKER = textwrap.dedent(
     """
     import os, sys
@@ -158,6 +295,8 @@ _FSDP_CKPT_WORKER = textwrap.dedent(
     sys.path.insert(0, %(repo)r)
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vpt")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import numpy as np
 
     from vpt_tpu.parallel.mesh import (
@@ -268,6 +407,8 @@ _PPO_WORKER = textwrap.dedent(
     sys.path.insert(0, %(repo)r)
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vpt")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import numpy as np
 
     from vpt_tpu.parallel.mesh import maybe_initialize_distributed, make_mesh

@@ -47,9 +47,17 @@ def save_checkpoint(
     rng_key=None,
     keep: int = 3,
 ) -> str:
-    """Write checkpoint ``directory/step_N``; prunes to the newest ``keep``."""
+    """Write checkpoint ``directory/step_N``; prunes to the newest ``keep``.
+
+    Multi-host: a COLLECTIVE — every process must call it in lockstep with
+    the same payload values (orbax's save runs a global sync; a rank-0-only
+    call would hang the pod).  Orbax elects the writer; ``data_state`` and
+    pruning are applied by process 0 only, and ``directory`` is assumed to
+    be shared storage."""
     _require_orbax()
-    os.makedirs(directory, exist_ok=True)
+    primary = jax.process_index() == 0
+    if primary:
+        os.makedirs(directory, exist_ok=True)
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
     payload = {"variables": variables}
     if opt_state is not None:
@@ -59,11 +67,11 @@ def save_checkpoint(
 
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
-    if data_state is not None:
-        with open(os.path.join(path, "data_state.json"), "w") as f:
-            json.dump(data_state, f)
-
-    _prune(directory, keep)
+    if primary:
+        if data_state is not None:
+            with open(os.path.join(path, "data_state.json"), "w") as f:
+                json.dump(data_state, f)
+        _prune(directory, keep)
     return path
 
 

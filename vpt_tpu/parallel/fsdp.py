@@ -73,9 +73,13 @@ def variables_shardings(variables, mesh: Mesh, min_size: int = MIN_SHARD_SIZE):
 
 
 def shard_variables(variables, mesh: Mesh, min_size: int = MIN_SHARD_SIZE):
-    """Place a variables tree with the combined FSDP+TP rules applied."""
+    """Place a variables tree with the combined FSDP+TP rules applied.
+    Multi-host safe: per-leaf ``place_host_array`` assembles global arrays
+    without device_put's cross-process value-verification allgather."""
+    from vpt_tpu.parallel.mesh import place_host_array
+
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s),
+        place_host_array,
         variables,
         variables_shardings(variables, mesh, min_size),
     )
@@ -86,7 +90,10 @@ def place_variables(variables, mesh: Mesh):
     has an active fsdp/tp axis, replicated otherwise."""
     if mesh.shape.get("fsdp", 1) > 1 or mesh.shape.get("tp", 1) > 1:
         return shard_variables(variables, mesh)
-    return jax.device_put(variables, NamedSharding(mesh, P()))
+    from vpt_tpu.parallel.mesh import place_host_array
+
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: place_host_array(x, repl), variables)
 
 
 def init_opt_state(optimizer, params, mesh: Mesh):
@@ -97,9 +104,11 @@ def init_opt_state(optimizer, params, mesh: Mesh):
     dependence on the inputs, so the compiler is free to lay them out
     unsharded); stray single-device leaves (the step-counter scalar) are
     re-placed replicated so the train step sees one consistent mesh."""
+    from vpt_tpu.parallel.mesh import place_host_array
+
     opt_state = optimizer.init(params)
     repl = NamedSharding(mesh, P())
     return jax.tree.map(
-        lambda x: x if isinstance(x.sharding, NamedSharding) else jax.device_put(x, repl),
+        lambda x: x if isinstance(x.sharding, NamedSharding) else place_host_array(x, repl),
         opt_state,
     )

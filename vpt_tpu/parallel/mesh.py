@@ -181,6 +181,43 @@ def _repl_identity(mesh: Mesh):
     return fn
 
 
+def cross_host_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Rendezvous every process at a named barrier through the coordination
+    service (pure gRPC — no device collective, so none of gloo's ~30 s
+    context-init window applies).  No-op single-process.
+
+    Used right before a trainer's FIRST cross-host collective: rank skew
+    there is unbounded (data-loader startup, first-batch decode), and a rank
+    that reaches the collective >30 s ahead of its peers kills the job with
+    'Gloo context initialization failed'.  The barrier collapses that skew
+    to the (symmetric) compile time."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+def place_host_array(x, sharding: NamedSharding):
+    """Place one host array under ``sharding``, multi-host SAFE and
+    verification-free.
+
+    ``jax.device_put`` onto a sharding that spans processes runs a gloo
+    ``assert_equal`` allgather over the VALUE — correct but heavy, and its
+    context-init window (~30 s) trips when ranks reach the put with compile
+    skew (observed on 1-core CI: one rank cache-hits, the other compiles).
+    Our callers (weight init/load, EWMA stats refresh) construct identical
+    values on every rank by design, so the check buys nothing:
+    ``make_array_from_callback`` assembles the global array from local reads
+    with no cross-host round at all."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def host_tree(tree):
     """Pull a device pytree to host numpy, multi-host aware.
 

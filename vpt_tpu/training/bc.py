@@ -41,8 +41,10 @@ from vpt_tpu.models.heads import dict_logprob, head_specs_from_space
 from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
 from vpt_tpu.parallel.mesh import (
     batch_sharded,
+    cross_host_barrier,
     device_zeros_like_tree,
     host_tree,
+    place_host_array,
     make_mesh,
     place_local_batch,
     replicated,
@@ -508,7 +510,7 @@ class BCTrainer:
                 # would (replicated, or tp/fsdp-sharded following the params)
                 ref_state = self._init_opt_state(self.variables["params"])
                 self.opt_state = jax.tree.map(
-                    lambda ref, x: jax.device_put(x, ref.sharding), ref_state, payload["opt_state"]
+                    lambda ref, x: place_host_array(x, ref.sharding), ref_state, payload["opt_state"]
                 )
                 if data_state:
                     if pid > 0:
@@ -588,10 +590,17 @@ class BCTrainer:
         data_cursor = loader.state()
         try:
             # H2D transfer of batch k+1 overlaps the device compute of step k
+            synced = False
             for batch in DevicePrefetcher(
                 with_episode_firsts(loader), seq_sharded(self.mesh)
             ):
                 data_cursor = batch.pop("_cursor")
+                if not synced:
+                    # first batch: loader-startup skew is unbounded, and a
+                    # rank reaching the first collective >30s early trips
+                    # gloo's context-init window (parallel/mesh.py)
+                    cross_host_barrier(f"bc_first_step_{self.step_count}")
+                    synced = True
                 state, loss, grad_norm = self.train_step(batch, state)
                 loss_sum += float(loss)
                 frames_seen += int(batch["mask"].sum())
@@ -618,15 +627,17 @@ class BCTrainer:
                     # the file write is rank-gated
                     vars_host = host_tree(self.variables)
                     opt_host = host_tree(self.opt_state)
-                    if pid == 0:
-                        native_ckpt.save_checkpoint(
-                            hp.checkpoint_dir,
-                            self.step_count,
-                            vars_host,
-                            opt_state=opt_host,
-                            data_state=cursor,
-                        )
-                    else:
+                    # collective: every rank joins orbax's save sync (a
+                    # rank-0-only call would hang the pod); orbax elects the
+                    # writer, rank 0 adds the cursor, others their shard's
+                    native_ckpt.save_checkpoint(
+                        hp.checkpoint_dir,
+                        self.step_count,
+                        vars_host,
+                        opt_state=opt_host,
+                        data_state=cursor if pid == 0 else None,
+                    )
+                    if pid > 0:
                         native_ckpt.save_data_state(
                             os.path.join(hp.checkpoint_dir, f"shard{pid}"),
                             self.step_count,

@@ -57,8 +57,10 @@ from vpt_tpu.models.policy import (
 )
 from vpt_tpu.parallel.mesh import (
     batch_sharded,
+    cross_host_barrier,
     device_zeros_like_tree,
     host_tree,
+    place_host_array,
     make_mesh,
     place_local_batch,
     replicated,
@@ -422,7 +424,7 @@ class IDMTrainer:
 
                 ref_state = init_opt_state(self.optimizer, self.variables["params"], self.mesh)
                 self.opt_state = jax.tree.map(
-                    lambda ref, x: jax.device_put(x, ref.sharding), ref_state, payload["opt_state"]
+                    lambda ref, x: place_host_array(x, ref.sharding), ref_state, payload["opt_state"]
                 )
                 if data_state:
                     if pid > 0:
@@ -486,8 +488,14 @@ class IDMTrainer:
 
         data_cursor = loader.state()
         try:
+            synced = False
             for batch in DevicePrefetcher(with_targets(loader), seq_sharded(self.mesh)):
                 data_cursor = batch.pop("_cursor")
+                if not synced:
+                    # see BCTrainer.train: align ranks before the first
+                    # cross-host collective (gloo's ~30s init window)
+                    cross_host_barrier(f"idm_first_step_{self.step_count}")
+                    synced = True
                 loss, grad_norm = self.train_step(batch, state)
                 loss_sum += float(loss)
                 # global SPMD sum, NOT np.asarray: the mask is a global array
@@ -514,15 +522,17 @@ class IDMTrainer:
                     # allgather collectively); only the write is rank-gated
                     vars_host = host_tree(self.variables)
                     opt_host = host_tree(self.opt_state)
-                    if pid == 0:
-                        native_ckpt.save_checkpoint(
-                            hp.checkpoint_dir,
-                            self.step_count,
-                            vars_host,
-                            opt_state=opt_host,
-                            data_state=cursor,
-                        )
-                    else:
+                    # collective: every rank joins orbax's save sync (a
+                    # rank-0-only call would hang the pod); orbax elects the
+                    # writer, rank 0 adds the cursor, others their shard's
+                    native_ckpt.save_checkpoint(
+                        hp.checkpoint_dir,
+                        self.step_count,
+                        vars_host,
+                        opt_state=opt_host,
+                        data_state=cursor if pid == 0 else None,
+                    )
+                    if pid > 0:
                         native_ckpt.save_data_state(
                             os.path.join(hp.checkpoint_dir, f"shard{pid}"),
                             self.step_count,

@@ -65,6 +65,7 @@ from vpt_tpu.parallel.mesh import (
     host_tree,
     local_batch_rows,
     make_mesh,
+    place_host_array,
     place_local_batch,
     replicated,
 )
@@ -673,10 +674,15 @@ class PPOTrainer:
             ),
         )
         # re-place only the stats (always replicated); the params keep their
-        # committed placement — replicated OR fsdp/tp-sharded
+        # committed placement — replicated OR fsdp/tp-sharded.  place_host_array
+        # skips device_put's cross-process equality allgather (the stats are
+        # identical on every rank: same all-host-gathered returns folded in)
+        from vpt_tpu.parallel.mesh import place_host_array
+
+        repl = replicated(self.mesh)
         self.variables = {
             "params": self.variables["params"],
-            "stats": jax.device_put(stats, replicated(self.mesh)),
+            "stats": jax.tree.map(lambda x: place_host_array(x, repl), stats),
         }
 
     def update(self, traj: Dict[str, np.ndarray]) -> Dict[str, float]:
@@ -783,16 +789,14 @@ class PPOTrainer:
         moments + (kl_coef, update_count, rng) — everything a resumed run
         needs to continue the anneal exactly.
 
-        Multi-host: every rank runs the host pull (under fsdp/tp the
-        cross-host leaves allgather COLLECTIVELY — a lone rank would
-        deadlock), then rank 0 alone writes; PPO has no per-rank data cursor
-        (env streams restart on resume), and ``resume`` reads the same shared
-        directory on every rank."""
+        Multi-host: a COLLECTIVE — every rank runs the host pull (cross-host
+        fsdp/tp leaves allgather) and joins orbax's save sync inside
+        ``native_ckpt.save_checkpoint``, which elects the writer; PPO has no
+        per-rank data cursor (env streams restart on resume), and ``resume``
+        reads the same shared directory on every rank."""
         from vpt_tpu.checkpoint import native as native_ckpt
 
         trees, opt = self._ckpt_trees()
-        if jax.process_index() > 0:
-            return
         native_ckpt.save_checkpoint(
             directory,
             self.update_count,
@@ -821,7 +825,7 @@ class PPOTrainer:
         )["params"]
         ref_state = init_opt_state(self.optimizer, self.variables["params"], self.mesh)
         self.opt_state = jax.tree.map(
-            lambda ref, x: jax.device_put(x, ref.sharding), ref_state, payload["opt_state"]
+            lambda ref, x: place_host_array(x, ref.sharding), ref_state, payload["opt_state"]
         )
         self._rng = jnp.asarray(payload["rng_key"])
         self.kl_coef = float(data_state["kl_coef"])
