@@ -357,7 +357,7 @@ def bench_rollout_e2e(n_streams: int = N_STREAMS, width: int = 2,
         agent, [MockMinecraftEnv(seed=i) for i in range(n_streams)], n_groups=n_groups
     )
     runner.run(3)  # compile + warm
-    return runner.run(steps)["frames_per_sec"]
+    return runner.run(steps)
 
 
 def bench_ppo_collect(n_streams: int = 64, rollout_len: int = 64, width: int = 2,
@@ -639,13 +639,16 @@ def main():
     if args.metric == "rollout-e2e":
         args.width = args.width or 2
         streams = args.streams or 128
-        fps = bench_rollout_e2e(n_streams=streams, width=args.width,
-                                compute_dtype=args.compute_dtype)
+        stats = bench_rollout_e2e(n_streams=streams, width=args.width,
+                                  compute_dtype=args.compute_dtype)
         print(json.dumps({
             "metric": f"end-to-end serving (mock envs), {args.width}x arch, {streams} streams, 4 groups",
-            "value": round(fps, 2),
+            "value": round(stats["frames_per_sec"], 2),
             "unit": "frames/sec/chip",
             "vs_baseline": None,
+            # per-rotation latency: every stream advances one frame per
+            # rotation, so realtime_factor_p99 > 1 ⇔ live 20 Hz serving holds
+            "latency": stats["latency"],
             # on this tunneled dev chip the H2D wire (~38 MB/s) caps resized-
             # frame upload at ~800 fps; a real TPU host's PCIe does not
             "note": "H2D wire-bound on the tunneled dev chip",

@@ -80,9 +80,15 @@ def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=Tr
                     shown["n"] += 1
 
             stats = runner.run(steps, on_step=preview)
+        lat = stats.get("latency") or {}
         print(
             f"{stats['frames']} env frames in {stats['seconds']:.2f}s → "
             f"{stats['frames_per_sec']:.1f} frames/sec end-to-end"
+            + (
+                f" (step latency p50 {lat['p50_ms']:.1f} ms / p99 {lat['p99_ms']:.1f} ms, "
+                f"{lat['realtime_factor_p99']:.2f}x the 20 Hz budget at p99)"
+                if lat else ""
+            )
         )
         return
 

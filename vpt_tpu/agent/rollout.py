@@ -18,6 +18,29 @@ from typing import Callable, List, Optional
 import numpy as np
 
 
+def latency_stats(step_seconds: List[float], env_hz: float = 20.0) -> dict:
+    """Serving-latency percentiles over per-step wall times.
+
+    ``realtime_factor`` is the margin against the recording rate the policy
+    was trained at (20 Hz, reference README.md:311 — contractor video is
+    20 fps): the p99 step must finish inside one 50 ms env tick for the
+    agent to keep up with a live env.  >1 means real-time serving holds
+    even at the tail."""
+    if not step_seconds:
+        return {}
+    ms = np.asarray(step_seconds) * 1e3
+    budget_ms = 1e3 / env_hz
+    return {
+        "steps": int(ms.size),
+        "mean_ms": round(float(ms.mean()), 3),
+        "p50_ms": round(float(np.percentile(ms, 50)), 3),
+        "p90_ms": round(float(np.percentile(ms, 90)), 3),
+        "p99_ms": round(float(np.percentile(ms, 99)), 3),
+        "max_ms": round(float(ms.max()), 3),
+        "realtime_factor_p99": round(budget_ms / float(np.percentile(ms, 99)), 3),
+    }
+
+
 class MockMinecraftEnv:
     """Synthetic stand-in for the MineRL env: 640×360 frames, accepts the
     standard action dict, episodes end with probability ``done_prob``.
@@ -125,11 +148,15 @@ class BatchedRolloutRunner:
         self.episode_steps = np.zeros(len(envs), np.int64)
 
     def run(self, n_steps: int, on_step: Optional[Callable] = None) -> dict:
-        """Step all streams n_steps times; returns throughput stats."""
+        """Step all streams n_steps times; returns throughput stats plus
+        per-step serving-latency percentiles (``latency``)."""
         t0 = time.perf_counter()
         total = 0
+        step_times = []
         for _ in range(n_steps):
+            ts = time.perf_counter()
             actions = self.agent.get_action(self.obs, first=self.firsts)
+            step_times.append(time.perf_counter() - ts)
             self.firsts[:] = False
             for i, (env, action) in enumerate(zip(self.envs, actions)):
                 obs, reward, done, info = env.step(action)
@@ -147,6 +174,7 @@ class BatchedRolloutRunner:
             "frames": total,
             "seconds": dt,
             "frames_per_sec": total / dt,
+            "latency": latency_stats(step_times),
         }
 
 
@@ -208,12 +236,23 @@ class GroupedRolloutRunner:
                 g["handle"], g["state"] = agent.dispatch_action_with_state(
                     g["obs"], g["state"], first=g["firsts"]
                 )
+        rotation_times = []
         for _ in range(n_steps):
+            ts = time.perf_counter()
             for g in self.groups:
                 self._advance(g, agent.collect_action(g["handle"]))
                 total += len(g["envs"])
                 g["handle"], g["state"] = agent.dispatch_action_with_state(
                     g["obs"], g["state"], first=g["firsts"]
                 )
+            # one full rotation advances every stream by one frame, and is
+            # also each group's dispatch→collect action latency (a group's
+            # result is collected one rotation after its dispatch)
+            rotation_times.append(time.perf_counter() - ts)
         dt = time.perf_counter() - t0
-        return {"frames": total, "seconds": dt, "frames_per_sec": total / dt}
+        return {
+            "frames": total,
+            "seconds": dt,
+            "frames_per_sec": total / dt,
+            "latency": latency_stats(rotation_times),
+        }
