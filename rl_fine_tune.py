@@ -28,7 +28,8 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
          updates=50, rollout_len=40, learning_rate=3e-5, kl_coef=0.2,
          compute_dtype="bfloat16", metrics_path=None, checkpoint_dir=None,
          checkpoint_every=0, resume=False, aux_phase_every=0, aux_epochs=4,
-         beta_clone=1.0, fsdp=1, tp=1, collect_groups=0):
+         beta_clone=1.0, fsdp=1, tp=1, collect_groups=0,
+         eval_every=0, eval_episodes=8, eval_streams=4, eval_max_steps=500):
     from vpt_tpu.parallel.mesh import maybe_initialize_distributed
 
     # multi-host pod launch: each host runs ITS OWN --streams envs and
@@ -74,6 +75,7 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
         in_model, in_weights, hp=hp, compute_dtype=compute_dtype, mesh=mesh
     )
 
+    eval_envs = None
     if mock_env:
         from vpt_tpu.agent.rollout import MockMinecraftEnv
 
@@ -82,11 +84,24 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
             for i in range(streams)
         ]
         reward_fn = demo_attack_reward
+        if eval_every > 0:
+            # dedicated eval streams (done_prob so episodes actually end)
+            eval_envs = [
+                MockMinecraftEnv(seed=10_000 + i, done_prob=0.02)
+                for i in range(eval_streams)
+            ]
     else:
         import gym  # the Java MineRL env; only on hosts that have it
 
         envs = [gym.make("MineRLBasaltFindCave-v0") for _ in range(streams)]
         reward_fn = None  # the env's own reward
+        if eval_every > 0:
+            eval_envs = [gym.make("MineRLBasaltFindCave-v0") for _ in range(eval_streams)]
+    if eval_envs is not None and _jax.process_count() > 1:
+        # evaluate() is single-process (episode lengths are data-dependent,
+        # so per-host act counts diverge); skip it on pod launches
+        print("---eval-every ignored on multi-host launches---")
+        eval_envs = None
 
     print(f"---Running PPO: {streams} streams × {rollout_len} steps/update "
           f"({hp.n_collect_groups} collection group(s)), {updates} updates, "
@@ -96,6 +111,8 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
         metrics=MetricsLogger(path=metrics_path),
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
         resume=resume,
+        eval_envs=eval_envs, eval_every=eval_every,
+        eval_episodes=eval_episodes, eval_max_steps=eval_max_steps,
     )
     print(f"Done: {report}")
 
@@ -127,6 +144,14 @@ if __name__ == "__main__":
                         help="Round-robin collection groups pipelining host work "
                              "against device steps (0 = auto: 4 when they divide "
                              "the streams; 1 = serial).")
+    parser.add_argument("--eval-every", type=int, default=0,
+                        help="Evaluate on dedicated env streams before training and "
+                             "every N updates, logging event=\"eval\" metric lines "
+                             "(0 = off).")
+    parser.add_argument("--eval-episodes", type=int, default=8, help="Episodes per evaluation.")
+    parser.add_argument("--eval-streams", type=int, default=4, help="Dedicated eval env streams.")
+    parser.add_argument("--eval-max-steps", type=int, default=500,
+                        help="Force-reset (truncate) eval episodes at this length.")
     args = parser.parse_args()
     main(
         args.in_model, args.in_weights, args.out_weights, mock_env=args.mock_env,
@@ -137,4 +162,6 @@ if __name__ == "__main__":
         resume=args.resume, aux_phase_every=args.aux_phase_every,
         aux_epochs=args.aux_epochs, beta_clone=args.beta_clone,
         fsdp=args.fsdp, tp=args.tp, collect_groups=args.collect_groups,
+        eval_every=args.eval_every, eval_episodes=args.eval_episodes,
+        eval_streams=args.eval_streams, eval_max_steps=args.eval_max_steps,
     )

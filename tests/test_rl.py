@@ -443,3 +443,73 @@ def test_groups_to_process_major_pairs_rows():
         np.testing.assert_array_equal(
             np.asarray(groups_to_process_major(x, g_, p_, 2)), np.asarray(x)
         )
+
+
+# ---------------------------------------------------------------- evaluation
+
+
+def test_evaluate_report_and_shaped_reward():
+    trainer = _make_trainer(b=2, rollout_len=4)
+    envs = _envs(2, done_prob=0.2)
+    # +1 per step under the shaped reward → every return equals its length
+    report = trainer.evaluate(envs, n_episodes=4, max_episode_steps=10,
+                              reward_fn=lambda a, o, r, d: 1.0)
+    assert report["episodes"] == 4
+    for ep in report["per_episode"]:
+        assert ep["return"] == ep["length"]
+    assert report["mean_vpred"] is not None
+    assert 0.0 <= report["action_stats"]["null_action_rate"] <= 1.0
+    # deterministic (argmax) path compiles and runs too
+    det = trainer.evaluate(envs, n_episodes=2, max_episode_steps=5,
+                           stochastic=False)
+    assert det["episodes"] == 2
+
+
+def test_evaluate_does_not_perturb_training():
+    def run(with_eval: bool):
+        trainer = _make_trainer(b=2, rollout_len=4)
+        envs = _envs(2)
+        if with_eval:
+            trainer.evaluate(_envs(2, done_prob=0.3), n_episodes=2,
+                             max_episode_steps=8)
+        traj, obs, firsts = trainer.collect(envs, reward_fn=lambda a, o, r, d: 1.0)
+        trainer.update(traj)
+        if with_eval:
+            trainer.evaluate(_envs(2, done_prob=0.3), n_episodes=2,
+                             max_episode_steps=8)
+        traj2, _, _ = trainer.collect(envs, obs, firsts,
+                                      reward_fn=lambda a, o, r, d: 1.0)
+        return traj, traj2, trainer
+
+    traj_a, traj2_a, tr_a = run(False)
+    traj_b, traj2_b, tr_b = run(True)
+    # evaluation must consume neither the trainer's rng nor its env/recurrent
+    # state: both runs collect the same actions and land on the same params
+    np.testing.assert_array_equal(traj_a["buttons"], traj_b["buttons"])
+    np.testing.assert_array_equal(traj2_a["buttons"], traj2_b["buttons"])
+    a_leaves = jax.tree.leaves(tr_a.variables["params"])
+    b_leaves = jax.tree.leaves(tr_b.variables["params"])
+    for la, lb in zip(a_leaves, b_leaves):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_train_logs_eval_events():
+    import io
+    import json
+
+    from vpt_tpu.utils.metrics import MetricsLogger
+
+    trainer = _make_trainer(b=2, rollout_len=4)
+    out = io.StringIO()
+    trainer.train(
+        _envs(2), 2, reward_fn=lambda a, o, r, d: 1.0,
+        metrics=MetricsLogger(stream=out),
+        eval_envs=_envs(2, done_prob=0.3), eval_every=2,
+        eval_episodes=2, eval_max_steps=6,
+    )
+    evals = [json.loads(l) for l in out.getvalue().splitlines()
+             if '"eval"' in l]
+    # baseline before update 0 + the eval_every=2 hit after update 2
+    assert [e["update"] for e in evals] == [0, 2]
+    for e in evals:
+        assert e["episodes"] == 2 and np.isfinite(e["mean_return"])

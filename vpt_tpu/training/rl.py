@@ -165,6 +165,73 @@ def make_ppo_optimizer(hp: PPOHyperparams) -> optax.GradientTransformation:
     return optax.chain(*steps)
 
 
+class _ShapedRewardEnv:
+    """Env proxy applying the trainer's ``reward_fn`` so evaluation scores
+    episodes under the reward PPO optimizes, not the env's own."""
+
+    def __init__(self, env, reward_fn: Callable):
+        self._env, self._reward_fn = env, reward_fn
+
+    def reset(self):
+        return self._env.reset()
+
+    def step(self, action):
+        obs, reward, done, info = self._env.step(action)
+        return obs, self._reward_fn(action, obs, reward, done), done, info
+
+
+class _TrainerEvalAgent:
+    """Adapter exposing the ``evaluate_episodes`` agent contract (get_action
+    over raw env obs, ``batch_size``, ``_last_vpred``) on top of a
+    PPOTrainer's current variables — fresh recurrent state, rng seeded by
+    ``update_count`` so evaluation is reproducible and side-effect-free."""
+
+    def __init__(self, trainer: "PPOTrainer", batch_size: int):
+        self.trainer = trainer
+        self.batch_size = batch_size
+        # cache the jitted step on the trainer: evaluate() builds a fresh
+        # adapter per call, and a fresh closure would recompile every eval
+        if getattr(trainer, "_eval_act", None) is None:
+            trainer._eval_act = trainer._build_eval_act()
+        self._act = trainer._eval_act
+        self._rng = jax.random.PRNGKey(1_000_003 + trainer.update_count)
+        self._last_vpred = None
+        ring = trainer.cfg.recurrence_type == "transformer"
+        data_sh = batch_sharded(trainer.mesh)
+        repl = replicated(trainer.mesh)
+
+        def make_state():
+            return policy_initial_state(trainer.cfg, batch_size, ring=ring)
+
+        sh_tree = jax.tree.map(
+            lambda s: repl if len(s.shape) == 0 else data_sh,
+            jax.eval_shape(make_state),
+        )
+        self._state = jax.jit(make_state, out_shardings=sh_tree)()
+        self._data_sh = data_sh
+
+    def get_action(self, minerl_obs: List, first=None, stochastic: bool = True):
+        t = self.trainer
+        img = t._resize(minerl_obs)
+        if first is None:
+            first = np.zeros(self.batch_size, bool)
+        action, vpred, self._state, self._rng = self._act(
+            t.variables,
+            jax.device_put(img, self._data_sh),
+            jax.device_put(np.asarray(first, bool), self._data_sh),
+            self._state,
+            self._rng,
+            stochastic,
+        )
+        self._last_vpred = np.asarray(vpred)
+        env_actions = t._agent_action_to_env(
+            {k: np.asarray(v) for k, v in action.items()}
+        )
+        return [
+            {k: v[i] for k, v in env_actions.items()} for i in range(self.batch_size)
+        ]
+
+
 class PPOTrainer:
     """KL-anchored recurrent PPO over batched env streams."""
 
@@ -206,6 +273,7 @@ class PPOTrainer:
         self._group_states = None   # per-group recurrent state (collection)
         self._aux_buffer: List[Dict[str, Any]] = []  # PPG: rollouts since last aux phase
         self._act = self._build_act()
+        self._eval_act = None   # compiled lazily on first evaluate()
         self._anchor_forward = self._build_anchor_forward()
         self._ppo_update = self._build_ppo_update()
         self._aux_step = self._build_aux_step()
@@ -476,6 +544,56 @@ class PPOTrainer:
             {k: np.asarray(v) for k, v in agent_action.items()}
         )
         return self.action_transformer.policy2env(factored)
+
+    # ------------------------------------------------------------- evaluation
+
+    def _build_eval_act(self):
+        """Like ``_act`` but with a static deterministic switch and no logp —
+        the evaluation path (fresh state, dedicated envs, separate rng)."""
+        policy, specs = self.policy, self.head_specs
+
+        def eval_act(variables, img, first, state, key, stochastic):
+            out, state_out = policy.apply(variables, img[:, None], first[:, None], state)
+            logits = {k: v[:, 0] for k, v in out["pi_logits"].items()}
+            key, sub = jax.random.split(key)
+            action = dict_sample(sub, logits, specs, deterministic=not stochastic)
+            return action, out["vpred"][:, 0, 0], state_out, key
+
+        return jax.jit(eval_act, static_argnames=("stochastic",), donate_argnums=(3,))
+
+    def evaluate(self, envs: List, n_episodes: int, max_episode_steps: int = 500,
+                 reward_fn: Optional[Callable] = None, stochastic: bool = True) -> Dict:
+        """Roll the CURRENT policy over dedicated eval envs until
+        ``n_episodes`` finish; returns the ``evaluate_episodes`` report
+        (per-episode returns/lengths, action statistics, latency).
+
+        The rollout uses a fresh recurrent state and an rng derived from
+        ``update_count`` only — evaluating never perturbs the training
+        trajectory (the trainer's own rng is untouched), so a run with
+        ``eval_every`` set optimizes identically to one without.
+
+        ``reward_fn`` (same ``f(env_action, obs, reward, done)`` contract as
+        :meth:`collect`) scores episodes under the shaped reward PPO is
+        actually optimizing.  Single-process only: episode completion is
+        data-dependent, so per-host act-call counts would diverge and
+        deadlock any cross-host collective.
+        """
+        assert jax.process_count() == 1, (
+            "evaluate() is single-process; run it from a one-host job or "
+            "gate it on jax.process_index() == 0 with a process-local mesh"
+        )
+        from vpt_tpu.agent.evaluation import evaluate_episodes
+
+        self.init()
+        if reward_fn is not None:
+            envs = [_ShapedRewardEnv(e, reward_fn) for e in envs]
+        return evaluate_episodes(
+            _TrainerEvalAgent(self, len(envs)),
+            envs,
+            n_episodes,
+            max_episode_steps=max_episode_steps,
+            stochastic=stochastic,
+        )
 
     # ---------------------------------------------------------------- update
 
@@ -845,12 +963,23 @@ class PPOTrainer:
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
         resume: bool = False,
+        eval_envs: Optional[List] = None,
+        eval_every: int = 0,
+        eval_episodes: int = 8,
+        eval_max_steps: int = 500,
     ) -> Dict[str, float]:
         """collect → update loop over persistent env streams.
 
         With ``checkpoint_dir``, snapshots every ``checkpoint_every`` updates
         and on SIGTERM/SIGINT (preemption); ``resume=True`` continues from the
-        newest snapshot (same contract as BCTrainer.train)."""
+        newest snapshot (same contract as BCTrainer.train).
+
+        With ``eval_envs`` and ``eval_every`` > 0, rolls the current policy
+        over those DEDICATED envs (never the training streams — their state
+        and recurrent context survive evaluation untouched) before the first
+        update and after every ``eval_every``-th, logging the
+        :meth:`evaluate` report summary as an ``event="eval"`` metrics line —
+        the "did the fine-tune help" curve alongside the loss curve."""
         import signal
 
         self.init()
@@ -872,7 +1001,22 @@ class PPOTrainer:
         start = time.time()
         frames = 0
         report: Dict[str, float] = {}
+
+        def run_eval():
+            ev = self.evaluate(eval_envs, eval_episodes,
+                               max_episode_steps=eval_max_steps,
+                               reward_fn=reward_fn)
+            metrics.log(event="eval", update=self.update_count,
+                        mean_return=ev["mean_return"], std_return=ev["std_return"],
+                        mean_length=ev["mean_length"], episodes=ev["episodes"],
+                        null_action_rate=ev["action_stats"]["null_action_rate"],
+                        mean_vpred=ev["mean_vpred"])
+            return ev
+
+        do_eval = bool(eval_envs) and eval_every > 0
         try:
+            if do_eval and self.update_count == 0:
+                run_eval()  # pre-training baseline the deltas read against
             while self.update_count < n_updates:
                 traj, obs, firsts = self.collect(envs, obs, firsts, reward_fn=reward_fn)
                 report = self.update(traj)
@@ -882,6 +1026,8 @@ class PPOTrainer:
                     frames_per_sec=frames / max(time.time() - start, 1e-9),
                     **report,
                 )
+                if do_eval and self.update_count % eval_every == 0:
+                    report["eval_mean_return"] = run_eval()["mean_return"]
                 checkpoint_now = (
                     checkpoint_dir and checkpoint_every
                     and self.update_count % checkpoint_every == 0
