@@ -105,7 +105,9 @@ _BC_WORKER = textwrap.dedent(
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import numpy as np
 
-    from vpt_tpu.parallel.mesh import maybe_initialize_distributed, make_mesh
+    from vpt_tpu.parallel.mesh import (
+        cross_host_barrier, maybe_initialize_distributed, make_mesh,
+    )
     from vpt_tpu.data.loader import SequenceDataLoader
     from vpt_tpu.training.bc import BCHyperparams, BCTrainer
 
@@ -144,6 +146,11 @@ _BC_WORKER = textwrap.dedent(
             for i, batch in enumerate(loader):
                 if i >= 3:
                     break
+                if i == 0:
+                    # this worker drives train_step directly (bypassing
+                    # BCTrainer.train's first-step barrier): align ranks
+                    # after loader startup, before the first gloo dispatch
+                    cross_host_barrier("bc_worker_first_step")
                 state, loss, grad_norm = trainer.train_step(batch, state)
                 losses.append(float(loss))
         finally:
@@ -300,7 +307,7 @@ _FSDP_CKPT_WORKER = textwrap.dedent(
     import numpy as np
 
     from vpt_tpu.parallel.mesh import (
-        host_tree, maybe_initialize_distributed, make_mesh,
+        cross_host_barrier, host_tree, maybe_initialize_distributed, make_mesh,
     )
     from vpt_tpu.training.bc import BCHyperparams, BCTrainer
 
@@ -342,7 +349,14 @@ _FSDP_CKPT_WORKER = textwrap.dedent(
             "mask": np.ones((local_b, 4), bool),
         }
         state = trainer.initial_state(hp.batch_size)
+        # align ranks before the step (BCTrainer.train does the same before
+        # its first collective) and BLOCK on the loss: this worker drives
+        # train_step directly, and on a 1-core CI host per-rank compiles
+        # serialize — an async dispatch would start the step's gloo context
+        # init >30 s before the slower rank arrives
+        cross_host_barrier("fsdp_ckpt_test_step")
         state, loss, _ = trainer.train_step(batch, state)
+        loss = float(loss)
 
         pulled = host_tree(trainer.variables)
         digest = float(sum(np.abs(np.asarray(l, np.float64)).sum()

@@ -218,6 +218,9 @@ def place_host_array(x, sharding: NamedSharding):
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
+_host_tree_pulls = 0   # lockstep counter → unique barrier name per call
+
+
 def host_tree(tree):
     """Pull a device pytree to host numpy, multi-host aware.
 
@@ -228,7 +231,21 @@ def host_tree(tree):
     full value and rank-0 checkpoint writes serialize the whole tree.
 
     COLLECTIVE under multi-host sharding: every process must call this in
-    lockstep (callers gate only the file WRITE on the rank, never this)."""
+    lockstep (callers gate only the file WRITE on the rank, never this).
+    Ranks rendezvous at a coordination-service barrier before the allgather
+    dispatch: checkpoint pulls happen at arbitrary rank skew (file writes,
+    compile variance), and a rank entering the gather's gloo context init
+    >30 s ahead of its peers would hit the hard KV-store deadline."""
+    needs_gather = any(
+        isinstance(x, jax.Array)
+        and not x.is_fully_addressable
+        and not x.is_fully_replicated
+        for x in jax.tree.leaves(tree)
+    )
+    if needs_gather:
+        global _host_tree_pulls
+        cross_host_barrier(f"host_tree_pull_{_host_tree_pulls}")
+        _host_tree_pulls += 1
 
     def pull(x):
         if (

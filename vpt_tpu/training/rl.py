@@ -62,6 +62,7 @@ from vpt_tpu.models.heads import (
 from vpt_tpu.models.policy import MinecraftAgentPolicy, policy_initial_state
 from vpt_tpu.parallel.mesh import (
     batch_sharded,
+    cross_host_barrier,
     host_tree,
     local_batch_rows,
     make_mesh,
@@ -271,6 +272,7 @@ class PPOTrainer:
         self.kl_coef = self.hp.kl_coef
         self.update_count = 0
         self._group_states = None   # per-group recurrent state (collection)
+        self._cross_host_synced = False  # first-collective barrier fired?
         self._aux_buffer: List[Dict[str, Any]] = []  # PPG: rollouts since last aux phase
         self._act = self._build_act()
         self._eval_act = None   # compiled lazily on first evaluate()
@@ -375,7 +377,10 @@ class PPOTrainer:
         ``maybe_initialize_distributed``): every process calls collect in
         lockstep with the same stream count; each device step runs over the
         global (all-host) batch, and the returned buffer holds the local
-        rows.
+        rows.  Ranks rendezvous once before this trainer's first collective
+        dispatch (same rationale as BCTrainer's first-step barrier: gloo's
+        context init has a hard 30 s window, and init-compile skew across
+        ranks is unbounded).
 
         With ``hp.n_collect_groups > 1`` the streams run as round-robin
         groups: host work for one group overlaps device compute (and D2H
@@ -387,7 +392,19 @@ class PPOTrainer:
             envs emit none — the VPT RL phase defines its own).
         """
         self.init()
+        self._sync_ranks_once()
         return self._collect_grouped(envs, obs, firsts, reward_fn)
+
+    def _sync_ranks_once(self) -> None:
+        """Collapse rank skew (init/compile/loader startup) before this
+        trainer's FIRST cross-host collective dispatch.  A rank that starts
+        a gloo context init >30 s before its peers arrive kills the job
+        ('Gloo context initialization failed'); the barrier is pure gRPC
+        through the coordination service, so it carries no such window."""
+        if self._cross_host_synced or jax.process_count() == 1:
+            return
+        cross_host_barrier("ppo_first_collective")
+        self._cross_host_synced = True
 
     def _collect_grouped(self, envs: List, obs: Optional[List],
                          firsts: Optional[np.ndarray],
@@ -812,6 +829,7 @@ class PPOTrainer:
         normalization, the value head's EWMA fold) are computed over the
         all-host gather so every process applies identical updates."""
         self.init()
+        self._sync_ranks_once()
         hp = self.hp
         nproc = jax.process_count()
         b = traj["frames"].shape[0]          # this host's streams
