@@ -13,8 +13,23 @@ from vpt_tpu.agent import MineRLAgent
 from vpt_tpu.checkpoint import load_model_parameters
 
 
+def _make_recorder(path, height, width):
+    """Annotated POV recorder: the headless stand-in for the reference's live
+    ``env.render()`` window (reference run_agent.py:24) — writes stream 0's
+    observed frames with the sampled action overlaid, via the native encoder."""
+    from vpt_tpu.data.annotate import action_rows, annotate_frame
+    from vpt_tpu.data.video import VideoWriter
+
+    writer = VideoWriter(path, width, height, fps=20)
+
+    def write(action, obs):
+        writer.write(annotate_frame(obs["pov"], action_rows(action)))
+
+    return write, writer
+
+
 def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=True,
-         mesh_dp=0):
+         mesh_dp=0, record=None):
     policy_kwargs, pi_head_kwargs = load_model_parameters(model)
 
     mesh = None
@@ -43,12 +58,20 @@ def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=Tr
         # round trip behind host work (0 = auto: 4 groups when they divide
         # the streams, else single-group; with --mesh-dp the per-group batch
         # must also divide over the dp axis)
+        if record and groups > 1:
+            raise SystemExit(
+                "--record taps the unpipelined runner's per-step callback; "
+                "use it without --groups (or with --groups 1)."
+            )
         if groups == 0:
-            for g in (4, 2, 1):
-                if streams % g == 0 and (streams // g) % max(mesh_dp, 1) == 0 \
-                        and (g == 1 or streams >= 2 * g):
-                    groups = g
-                    break
+            if record:
+                groups = 1  # recording wants the per-step (action, obs) hook
+            else:
+                for g in (4, 2, 1):
+                    if streams % g == 0 and (streams // g) % max(mesh_dp, 1) == 0 \
+                            and (g == 1 or streams >= 2 * g):
+                        groups = g
+                        break
         if mesh_dp and (streams // groups) % mesh_dp != 0:
             raise SystemExit(
                 f"streams/groups = {streams // groups} must divide over the "
@@ -71,15 +94,26 @@ def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=Tr
         else:
             runner = BatchedRolloutRunner(agent, envs)
             shown = {"n": 0}
+            rec_write = rec_writer = None
+            if record:
+                pov = runner.obs[0]["pov"]
+                rec_write, rec_writer = _make_recorder(record, pov.shape[0], pov.shape[1])
 
-            def preview(actions):
+            def preview(actions, obs):
+                a = actions[0] if isinstance(actions, list) else actions
+                if rec_write is not None:
+                    rec_write(a, obs[0])
                 if show and shown["n"] < 3:
-                    a = actions[0] if isinstance(actions, list) else actions
                     pressed = [k for k, v in a.items() if k != "camera" and v == 1]
                     print(f"step {shown['n']}: pressed={pressed} camera={np.round(a['camera'], 2)}")
                     shown["n"] += 1
 
-            stats = runner.run(steps, on_step=preview)
+            try:
+                stats = runner.run(steps, on_step=preview)
+            finally:
+                if rec_writer is not None:
+                    rec_writer.close()
+                    print(f"recorded {steps} annotated frames to {record}")
         lat = stats.get("latency") or {}
         print(
             f"{stats['frames']} env frames in {stats['seconds']:.2f}s → "
@@ -106,10 +140,21 @@ def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=Tr
 
     print("---Launching MineRL environment (be patient)---")
     obs = env.reset()
-    while True:
-        minerl_action = agent.get_action(obs)
-        obs, reward, done, info = env.step(minerl_action)
-        env.render()
+    rec_write = rec_writer = None
+    if record:
+        pov = obs["pov"]
+        rec_write, rec_writer = _make_recorder(record, pov.shape[0], pov.shape[1])
+    try:
+        while True:
+            minerl_action = agent.get_action(obs)
+            if rec_write is not None:
+                rec_write(minerl_action, obs)
+            obs, reward, done, info = env.step(minerl_action)
+            env.render()
+    finally:
+        if rec_writer is not None:
+            rec_writer.close()
+            print(f"recorded annotated gameplay to {record}")
 
 
 if __name__ == "__main__":
@@ -124,7 +169,11 @@ if __name__ == "__main__":
     parser.add_argument("--mesh-dp", type=int, default=0,
                         help="Shard the stream axis + KV caches over an N-device dp mesh "
                              "(multi-chip serving; 0 = single device).")
+    parser.add_argument("--record", type=str, default=None,
+                        help="Write stream 0's POV with the sampled action overlaid to "
+                             "this mp4 (headless replacement for the live render window).")
 
     args = parser.parse_args()
     main(args.model, args.weights, mock_env=args.mock_env, steps=args.steps,
-         streams=args.streams, groups=args.groups, mesh_dp=args.mesh_dp)
+         streams=args.streams, groups=args.groups, mesh_dp=args.mesh_dp,
+         record=args.record)

@@ -37,13 +37,46 @@ def test_batched_rollout_runner():
     envs = [MockMinecraftEnv(seed=i, done_prob=0.3) for i in range(3)]
     runner = BatchedRolloutRunner(agent, envs)
     seen = []
-    stats = runner.run(8, on_step=lambda a: seen.append(a))
+    stats = runner.run(8, on_step=lambda a, o: seen.append((a, o)))
     assert stats["frames"] == 24
     assert stats["frames_per_sec"] > 0
-    assert len(seen) == 8 and len(seen[0]) == 3
+    assert len(seen) == 8 and len(seen[0][0]) == 3
+    # on_step receives the PRE-step observations the actions were computed from
+    assert len(seen[0][1]) == 3 and seen[0][1][0]["pov"].shape == (360, 640, 3)
     # done episodes triggered resets (first flags used) with done_prob 0.3
     # over 24 transitions it is overwhelmingly likely at least one reset fired
     assert runner.episode_steps.max() <= 8
+
+
+def test_rollout_recording(tmp_path):
+    """run_agent.py --record: stream 0's POV frames, annotated with the
+    sampled action, round-trip through the native encoder."""
+    import pytest
+
+    from vpt_tpu.data.video import VideoReader, native_available
+
+    if not native_available():
+        pytest.skip("native video plane unavailable")
+
+    from run_agent import _make_recorder
+
+    agent = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs={"temperature": 2.0},
+                        batch_size=2)
+    envs = [MockMinecraftEnv(seed=i) for i in range(2)]
+    runner = BatchedRolloutRunner(agent, envs)
+    out = str(tmp_path / "rollout.mp4")
+    write, writer = _make_recorder(out, 360, 640)
+    runner.run(5, on_step=lambda actions, obs: write(actions[0], obs[0]))
+    writer.close()
+    with VideoReader(out) as cap:
+        n = 0
+        while True:
+            frame = cap.read()
+            if frame is None:
+                break
+            assert frame.shape == (360, 640, 3)
+            n += 1
+    assert n == 5
 
 
 def test_grouped_rollout_runner():

@@ -149,11 +149,16 @@ class BatchedRolloutRunner:
 
     def run(self, n_steps: int, on_step: Optional[Callable] = None) -> dict:
         """Step all streams n_steps times; returns throughput stats plus
-        per-step serving-latency percentiles (``latency``)."""
+        per-step serving-latency percentiles (``latency``).
+
+        ``on_step(actions, obs)`` is called once per step with the sampled
+        env actions and the observations they were computed FROM (the
+        pre-step obs) — the pair a recorder or logger wants."""
         t0 = time.perf_counter()
         total = 0
         step_times = []
         for _ in range(n_steps):
+            obs_before = list(self.obs)
             ts = time.perf_counter()
             actions = self.agent.get_action(self.obs, first=self.firsts)
             step_times.append(time.perf_counter() - ts)
@@ -168,7 +173,7 @@ class BatchedRolloutRunner:
                 self.obs[i] = obs
             total += len(self.envs)
             if on_step is not None:
-                on_step(actions)
+                on_step(actions, obs_before)
         dt = time.perf_counter() - t0
         return {
             "frames": total,
