@@ -124,3 +124,96 @@ def json_actions_to_env_actions(json_actions):
     parsed = [json_action_to_env_action(step) for step in json_actions]
     actions = [a for a, _ in parsed]
     return actions, np.array([null for _, null in parsed], bool)
+
+
+# ---------------------------------------------------------------------------
+# The inverse direction: env actions → recorder jsonl.
+#
+# The reference documents the contractor recorder's jsonl format (its README
+# points at the recorder sources, README.md:150-160) and consumes it
+# (run_inverse_dynamics_model.py:80-125, data_loader.py:97), but ships no
+# code that PRODUCES it.  These helpers write that format from env action
+# dicts, so agent play recorded by tools/record_demonstrations.py is
+# loadable by the same BC data pipeline as contractor data.
+# ---------------------------------------------------------------------------
+
+_INV_KEYBOARD = {v: k for k, v in KEYBOARD_BUTTON_MAPPING.items()}
+_INV_MOUSE = {name: idx for idx, name in MOUSE_BUTTON_NAMES.items()}
+
+
+class RecorderJsonlWriter:
+    """Stateful env-action → recorder-jsonl-step converter.
+
+    The recorder format carries per-step *state* the env action dict doesn't:
+    ``newButtons`` (mouse buttons pressed this step that were up last step),
+    the selected ``hotbar`` slot, and ``isGuiOpen``.  This class tracks all
+    three across steps: newButtons from the previous step's held set, the
+    hotbar slot from hotbar.N presses, and the GUI flag toggled by fresh
+    ``inventory`` presses (the only GUI control in the policy's button set).
+
+    Exact inverse of ``json_action_to_env_action`` up to that parser's own
+    camera-int-truncation quirk: camera degrees divide back through
+    CAMERA_SCALER into mouse dx/dy, so re-parsing returns the integer-degree
+    truncation of the recorded action — identical to how real contractor
+    recordings lose sub-degree camera motion.
+    """
+
+    def __init__(self, gui_open: bool = False, hotbar_slot: int = 0):
+        self._prev_mouse: set = set()
+        self._prev_inventory = False
+        self._gui = bool(gui_open)
+        self._hotbar = int(hotbar_slot)
+
+    def step(self, env_action, mouse_xy=(640.0, 360.0)) -> dict:
+        """One recorder jsonl row for ``env_action``.  ``mouse_xy`` is the
+        cursor position in the recorder's 1280×720 screen coordinates (the
+        loader rescales by video height / 720, data_loader.py:52-56); it only
+        matters while the GUI is open (cursor compositing)."""
+        held_keys = sorted(
+            _INV_KEYBOARD[name]
+            for name in KEYBOARD_BUTTON_MAPPING.values()
+            if _scalar(env_action.get(name, 0))
+        )
+        mouse_buttons = sorted(
+            idx for name, idx in _INV_MOUSE.items()
+            if _scalar(env_action.get(name, 0))
+        )
+        new_buttons = sorted(set(mouse_buttons) - self._prev_mouse)
+        self._prev_mouse = set(mouse_buttons)
+
+        inventory = bool(_scalar(env_action.get("inventory", 0)))
+        if inventory and not self._prev_inventory:
+            self._gui = not self._gui
+        self._prev_inventory = inventory
+
+        for slot in range(9):
+            if _scalar(env_action.get(f"hotbar.{slot + 1}", 0)):
+                self._hotbar = slot
+                break
+
+        camera = np.asarray(env_action.get("camera", (0.0, 0.0)), np.float64)
+        pitch, yaw = float(camera[0]), float(camera[1])
+
+        return {
+            "keyboard": {"keys": held_keys},
+            "mouse": {
+                "x": float(mouse_xy[0]),
+                "y": float(mouse_xy[1]),
+                "dx": yaw / CAMERA_SCALER,
+                "dy": pitch / CAMERA_SCALER,
+                "buttons": mouse_buttons,
+                "newButtons": new_buttons,
+            },
+            "hotbar": self._hotbar,
+            "isGuiOpen": self._gui,
+        }
+
+
+def _scalar(v) -> int:
+    return int(np.asarray(v).reshape(-1)[0])
+
+
+def env_action_to_json_action(env_action) -> dict:
+    """Stateless single-step form of :class:`RecorderJsonlWriter` (newButtons
+    == buttons, hotbar slot from this step only, GUI closed)."""
+    return RecorderJsonlWriter().step(env_action)
