@@ -29,7 +29,8 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
          compute_dtype="bfloat16", metrics_path=None, checkpoint_dir=None,
          checkpoint_every=0, resume=False, aux_phase_every=0, aux_epochs=4,
          beta_clone=1.0, fsdp=1, tp=1, collect_groups=0,
-         eval_every=0, eval_episodes=8, eval_streams=4, eval_max_steps=500):
+         eval_every=0, eval_episodes=8, eval_streams=4, eval_max_steps=500,
+         eval_record_dir=None):
     from vpt_tpu.parallel.mesh import maybe_initialize_distributed
 
     # multi-host pod launch: each host runs ITS OWN --streams envs and
@@ -113,6 +114,7 @@ def main(in_model, in_weights, out_weights, mock_env=False, streams=8,
         resume=resume,
         eval_envs=eval_envs, eval_every=eval_every,
         eval_episodes=eval_episodes, eval_max_steps=eval_max_steps,
+        eval_record_dir=eval_record_dir,
     )
     print(f"Done: {report}")
 
@@ -152,6 +154,9 @@ if __name__ == "__main__":
     parser.add_argument("--eval-streams", type=int, default=4, help="Dedicated eval env streams.")
     parser.add_argument("--eval-max-steps", type=int, default=500,
                         help="Force-reset (truncate) eval episodes at this length.")
+    parser.add_argument("--eval-record-dir", type=str, default=None,
+                        help="Save an annotated POV video of each evaluation "
+                             "(eval-<update>.mp4) here.")
     args = parser.parse_args()
     main(
         args.in_model, args.in_weights, args.out_weights, mock_env=args.mock_env,
@@ -164,4 +169,5 @@ if __name__ == "__main__":
         fsdp=args.fsdp, tp=args.tp, collect_groups=args.collect_groups,
         eval_every=args.eval_every, eval_episodes=args.eval_episodes,
         eval_streams=args.eval_streams, eval_max_steps=args.eval_max_steps,
+        eval_record_dir=args.eval_record_dir,
     )

@@ -51,6 +51,27 @@ def agent():
                        batch_size=2, seed=0)
 
 
+def test_evaluate_episodes_recording(agent, tmp_path):
+    """record_path: the eval rolls out identically and writes stream 0's
+    annotated POV video alongside the report."""
+    from vpt_tpu.data.video import VideoReader, native_available
+
+    if not native_available():
+        pytest.skip("native video plane unavailable")
+    out = str(tmp_path / "eval.mp4")
+    envs = [RewardingMockEnv(seed=i, horizon=5) for i in range(2)]
+    report = evaluate_episodes(agent, envs, n_episodes=2, max_episode_steps=100,
+                               record_path=out)
+    assert report["recording"] == out
+    with VideoReader(out) as cap:
+        n = 0
+        while cap.read() is not None:
+            n += 1
+    # one frame per agent step; 2 streams with horizon 5 finish 2 episodes
+    # within 5 steps, so the video has exactly as many frames as steps taken
+    assert n == report["steps"] // 2
+
+
 def test_evaluate_episodes_report(agent):
     envs = [RewardingMockEnv(seed=i, horizon=7) for i in range(2)]
     report = evaluate_episodes(agent, envs, n_episodes=5, max_episode_steps=100)

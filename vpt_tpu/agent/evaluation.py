@@ -45,6 +45,7 @@ def evaluate_episodes(
     max_episode_steps: int = 2000,
     stochastic: bool = True,
     env_hz: float = 20.0,
+    record_path: Optional[str] = None,
 ) -> dict:
     """Run ``envs`` (len == agent.batch_size) until ``n_episodes`` episodes
     complete; an episode still running at ``max_episode_steps`` is force-reset
@@ -53,12 +54,24 @@ def evaluate_episodes(
     Episodes are counted in completion order across streams, first
     ``n_episodes`` only, so the report is a fixed-size sample regardless of
     stream count.  Returns a JSON-ready report dict.
+
+    ``record_path``: write stream 0's POV, annotated with its sampled action,
+    to this mp4 (the qualitative companion to the return statistics — watch
+    what the policy actually does at each eval point).
     """
     b = len(envs)
     assert b == agent.batch_size, (b, agent.batch_size)
     assert n_episodes > 0 and max_episode_steps > 0
 
     obs = [e.reset() for e in envs]
+    recorder = None
+    if record_path:
+        from vpt_tpu.data.annotate import action_rows, annotate_frame
+        from vpt_tpu.data.video import VideoWriter
+
+        pov = obs[0]["pov"]
+        writer = VideoWriter(record_path, pov.shape[1], pov.shape[0], fps=int(env_hz))
+        recorder = (writer, annotate_frame, action_rows)
     firsts = np.ones(b, bool)
     ep_return = np.zeros(b, np.float64)
     ep_len = np.zeros(b, np.int64)
@@ -73,49 +86,57 @@ def evaluate_episodes(
     null_actions = 0
     total_steps = 0
 
-    while len(episodes) < n_episodes:
-        ts = time.perf_counter()
-        actions = agent.get_action(obs, first=firsts, stochastic=stochastic)
-        step_times.append(time.perf_counter() - ts)
-        vp = getattr(agent, "_last_vpred", None)
-        if vp is not None:
-            vpred_sum += float(np.sum(vp))
-            vpred_n += int(np.size(vp))
-        firsts[:] = False
-        for i, (env, action) in enumerate(zip(envs, actions)):
-            total_steps += 1
-            cam = np.asarray(action["camera"], np.float64).reshape(-1)
-            cam_abs_sum += np.abs(cam)
-            if np.any(cam != 0.0):
-                cam_moves += 1
-            if _is_null_action(action):
-                null_actions += 1
-            for k, v in action.items():
-                if k != "camera" and np.any(np.asarray(v) != 0):
-                    press_counts[k] = press_counts.get(k, 0) + 1
+    try:
+        while len(episodes) < n_episodes:
+            ts = time.perf_counter()
+            actions = agent.get_action(obs, first=firsts, stochastic=stochastic)
+            step_times.append(time.perf_counter() - ts)
+            if recorder is not None:
+                writer, annotate_frame, action_rows = recorder
+                writer.write(annotate_frame(obs[0]["pov"], action_rows(actions[0])))
+            vp = getattr(agent, "_last_vpred", None)
+            if vp is not None:
+                vpred_sum += float(np.sum(vp))
+                vpred_n += int(np.size(vp))
+            firsts[:] = False
+            for i, (env, action) in enumerate(zip(envs, actions)):
+                total_steps += 1
+                cam = np.asarray(action["camera"], np.float64).reshape(-1)
+                cam_abs_sum += np.abs(cam)
+                if np.any(cam != 0.0):
+                    cam_moves += 1
+                if _is_null_action(action):
+                    null_actions += 1
+                for k, v in action.items():
+                    if k != "camera" and np.any(np.asarray(v) != 0):
+                        press_counts[k] = press_counts.get(k, 0) + 1
 
-            o, reward, done, _info = env.step(action)
-            ep_return[i] += float(reward)
-            ep_len[i] += 1
-            truncated = not done and ep_len[i] >= max_episode_steps
-            if done or truncated:
-                if len(episodes) < n_episodes:
-                    episodes.append(
-                        {
-                            "return": float(ep_return[i]),
-                            "length": int(ep_len[i]),
-                            "truncated": bool(truncated),
-                        }
-                    )
-                o = env.reset()
-                firsts[i] = True
-                ep_return[i] = 0.0
-                ep_len[i] = 0
-            obs[i] = o
+                o, reward, done, _info = env.step(action)
+                ep_return[i] += float(reward)
+                ep_len[i] += 1
+                truncated = not done and ep_len[i] >= max_episode_steps
+                if done or truncated:
+                    if len(episodes) < n_episodes:
+                        episodes.append(
+                            {
+                                "return": float(ep_return[i]),
+                                "length": int(ep_len[i]),
+                                "truncated": bool(truncated),
+                            }
+                        )
+                    o = env.reset()
+                    firsts[i] = True
+                    ep_return[i] = 0.0
+                    ep_len[i] = 0
+                obs[i] = o
+    finally:
+        if recorder is not None:
+            recorder[0].close()
 
     rets = np.asarray([e["return"] for e in episodes])
     lens = np.asarray([e["length"] for e in episodes])
     return {
+        **({"recording": record_path} if record_path else {}),
         "episodes": len(episodes),
         "mean_return": float(rets.mean()),
         "std_return": float(rets.std()),

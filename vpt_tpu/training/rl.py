@@ -38,6 +38,7 @@ configurable.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Callable, Dict, List, Optional
 
@@ -579,7 +580,8 @@ class PPOTrainer:
         return jax.jit(eval_act, static_argnames=("stochastic",), donate_argnums=(3,))
 
     def evaluate(self, envs: List, n_episodes: int, max_episode_steps: int = 500,
-                 reward_fn: Optional[Callable] = None, stochastic: bool = True) -> Dict:
+                 reward_fn: Optional[Callable] = None, stochastic: bool = True,
+                 record_path: Optional[str] = None) -> Dict:
         """Roll the CURRENT policy over dedicated eval envs until
         ``n_episodes`` finish; returns the ``evaluate_episodes`` report
         (per-episode returns/lengths, action statistics, latency).
@@ -610,6 +612,7 @@ class PPOTrainer:
             n_episodes,
             max_episode_steps=max_episode_steps,
             stochastic=stochastic,
+            record_path=record_path,
         )
 
     # ---------------------------------------------------------------- update
@@ -985,6 +988,7 @@ class PPOTrainer:
         eval_every: int = 0,
         eval_episodes: int = 8,
         eval_max_steps: int = 500,
+        eval_record_dir: Optional[str] = None,
     ) -> Dict[str, float]:
         """collect → update loop over persistent env streams.
 
@@ -1021,9 +1025,14 @@ class PPOTrainer:
         report: Dict[str, float] = {}
 
         def run_eval():
+            rec = None
+            if eval_record_dir:
+                os.makedirs(eval_record_dir, exist_ok=True)
+                rec = os.path.join(eval_record_dir,
+                                   f"eval-{self.update_count:05d}.mp4")
             ev = self.evaluate(eval_envs, eval_episodes,
                                max_episode_steps=eval_max_steps,
-                               reward_fn=reward_fn)
+                               reward_fn=reward_fn, record_path=rec)
             metrics.log(event="eval", update=self.update_count,
                         mean_return=ev["mean_return"], std_return=ev["std_return"],
                         mean_length=ev["mean_length"], episodes=ev["episodes"],
