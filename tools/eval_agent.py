@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--compute-dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--out", type=str, default=None, help="also write the report to this path")
+    ap.add_argument("--record", type=str, default=None,
+                    help="save stream 0's annotated POV video of the evaluation here")
     ap.add_argument("--compare", nargs=2, metavar=("A_JSON", "B_JSON"),
                     help="compare two saved reports instead of running")
     args = ap.parse_args()
@@ -95,6 +97,7 @@ def main():
         n_episodes=args.episodes,
         max_episode_steps=args.max_episode_steps,
         stochastic=not args.deterministic,
+        record_path=args.record,
     )
     line = json.dumps(report)
     print(line)
