@@ -25,9 +25,12 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 from argparse import ArgumentParser
 
-from vpt_tpu.actions.json_actions import RecorderJsonlWriter
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vpt_tpu.actions.json_actions import RecorderJsonlWriter  # noqa: E402
 
 
 def record(agent, envs, n_steps: int, out_dir: str, prefix: str = "demo") -> list:
