@@ -21,10 +21,13 @@ def _make_recorder(path, height, width):
     from vpt_tpu.data.video import VideoWriter
 
     writer = VideoWriter(path, width, height, fps=20)
+    frames = {"n": 0}
 
     def write(action, obs):
         writer.write(annotate_frame(obs["pov"], action_rows(action)))
+        frames["n"] += 1
 
+    write.frames = frames
     return write, writer
 
 
@@ -113,7 +116,9 @@ def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=Tr
             finally:
                 if rec_writer is not None:
                     rec_writer.close()
-                    print(f"recorded {steps} annotated frames to {record}")
+                    # frames actually written (a partial run records fewer
+                    # than the requested step count)
+                    print(f"recorded {rec_write.frames['n']} annotated frames to {record}")
         lat = stats.get("latency") or {}
         print(
             f"{stats['frames']} env frames in {stats['seconds']:.2f}s → "
@@ -154,7 +159,7 @@ def main(model, weights, mock_env=False, steps=100, streams=1, groups=0, show=Tr
     finally:
         if rec_writer is not None:
             rec_writer.close()
-            print(f"recorded annotated gameplay to {record}")
+            print(f"recorded {rec_write.frames['n']} annotated frames of gameplay to {record}")
 
 
 if __name__ == "__main__":

@@ -74,6 +74,15 @@ def test_writer_state_tracking():
     assert w.step(_action())["isGuiOpen"] is True
     assert w.step(_action(inventory=1))["isGuiOpen"] is False
 
+    # ESC closes an open GUI (the common close path besides re-pressing
+    # inventory); a fresh ESC with no GUI open stays closed
+    assert w.step(_action())["isGuiOpen"] is False            # release inventory
+    assert w.step(_action(inventory=1))["isGuiOpen"] is True
+    assert w.step(_action(ESC=1))["isGuiOpen"] is False
+    assert w.step(_action(ESC=1))["isGuiOpen"] is False        # held, no retoggle
+    assert w.step(_action())["isGuiOpen"] is False
+    assert w.step(_action(ESC=1))["isGuiOpen"] is False
+
 
 def test_stateless_form():
     row = env_action_to_json_action(_action(forward=1, camera=(1.61, 0.0)))
@@ -128,10 +137,16 @@ def test_recorded_pair_loads_through_bc_pipeline(tmp_path):
 
     taken = record(_ScriptedAgent(), [_ScriptedEnv()], len(script), str(tmp_path),
                    prefix="scripted")
-    assert len(taken[0]) == len(script)
+    # record() prepends one genuine warm-up noop step per stream so the first
+    # policy action can never read back as a stuck attack key; the loader
+    # then skips that row as a null action
+    assert len(taken[0]) == len(script) + 1
+    assert not any(taken[0][0][k] for k in NOOP_ACTION if k != "camera")
 
     got = list(trajectory_steps(str(tmp_path / "scripted-0.mp4"),
                                 str(tmp_path / "scripted-0.jsonl")))
+    # no mid-run resets -> exactly one pair, no -epK rollover files
+    assert not list(tmp_path.glob("scripted-0-ep*"))
     expected = [(i, a) for i, a in enumerate(script)
                 if any(a[k] for k in NOOP_ACTION if k != "camera")
                 or np.any(np.asarray(a["camera"]))]
@@ -144,3 +159,52 @@ def test_recorded_pair_loads_through_bc_pipeline(tmp_path):
                     action["camera"], np.trunc(orig["camera"]).astype(np.int64))
             else:
                 assert action[k] == orig[k], (i, k)
+
+
+def test_mid_run_episode_resets_start_new_pairs(tmp_path):
+    """When a stream's env ends mid-run, the next episode must land in a new
+    mp4+jsonl pair (-epK suffix) instead of being stitched into the old one,
+    and every written pair must be loadable with the right frame count."""
+    from vpt_tpu.data.loader import trajectory_steps
+    from vpt_tpu.data.video import native_available
+
+    if not native_available():
+        pytest.skip("native video plane unavailable")
+
+    from record_demonstrations import record
+
+    class _ForwardAgent:
+        batch_size = 1
+
+        def get_action(self, obs, first=None, **kw):
+            return [_action(forward=1)]
+
+    class _EpisodicEnv:
+        """Ends an episode every 3 steps."""
+
+        def __init__(self):
+            self.t = 0
+
+        def reset(self):
+            return {"pov": np.full((360, 640, 3), 7, np.uint8)}
+
+        def step(self, action):
+            self.t += 1
+            done = self.t % 3 == 0
+            return {"pov": np.full((360, 640, 3), 7, np.uint8)}, 0.0, done, {}
+
+    record(_ForwardAgent(), [_EpisodicEnv()], 7, str(tmp_path), prefix="epi")
+    # 8 frames total (1 warm-up noop + 7 policy steps); episodes end at env
+    # steps 3/6 (warm-up consumed step 1, so after policy steps 2 and 5)
+    pairs = sorted(p.stem for p in tmp_path.glob("epi-0*.jsonl"))
+    assert pairs == ["epi-0", "epi-0-ep1", "epi-0-ep2"], pairs
+    lengths = []
+    for stem in pairs:
+        rows = (tmp_path / f"{stem}.jsonl").read_text().splitlines()
+        steps = list(trajectory_steps(str(tmp_path / f"{stem}.mp4"),
+                                      str(tmp_path / f"{stem}.jsonl")))
+        # forward-only actions are never null -> loader keeps every policy row
+        lengths.append(len(rows))
+        assert len(steps) in (len(rows), len(rows) - 1)  # -1: leading noop skipped
+    assert sum(lengths) == 8
+    assert lengths == [3, 3, 2], lengths

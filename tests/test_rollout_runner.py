@@ -47,6 +47,11 @@ def test_batched_rollout_runner():
     # over 24 transitions it is overwhelmingly likely at least one reset fired
     assert runner.episode_steps.max() <= 8
 
+    # legacy single-argument callbacks (pre-round-3 contract) still work
+    legacy_seen = []
+    runner.run(2, on_step=lambda actions: legacy_seen.append(actions))
+    assert len(legacy_seen) == 2 and len(legacy_seen[0]) == 3
+
 
 def test_rollout_recording(tmp_path):
     """run_agent.py --record: stream 0's POV frames, annotated with the

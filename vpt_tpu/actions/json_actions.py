@@ -149,7 +149,16 @@ class RecorderJsonlWriter:
     the selected ``hotbar`` slot, and ``isGuiOpen``.  This class tracks all
     three across steps: newButtons from the previous step's held set, the
     hotbar slot from hotbar.N presses, and the GUI flag toggled by fresh
-    ``inventory`` presses (the only GUI control in the policy's button set).
+    ``inventory`` presses and closed by fresh ``ESC`` presses.
+
+    The GUI flag is exact for mock/scripted rollouts but APPROXIMATE for
+    real-env recordings: the game also opens a GUI through paths the action
+    stream can't see (``use`` on a chest / crafting table / furnace, death
+    screens), so ``isGuiOpen`` can diverge from true game state there —
+    which shifts which frames the BC loader composites the cursor onto and
+    applies GUI-only fixups to.  Real contractor recordings don't have this
+    problem (their recorder reads the flag from the game); treat self-
+    recorded real-env data accordingly.
 
     Exact inverse of ``json_action_to_env_action`` up to that parser's own
     camera-int-truncation quirk: camera degrees divide back through
@@ -161,6 +170,7 @@ class RecorderJsonlWriter:
     def __init__(self, gui_open: bool = False, hotbar_slot: int = 0):
         self._prev_mouse: set = set()
         self._prev_inventory = False
+        self._prev_esc = False
         self._gui = bool(gui_open)
         self._hotbar = int(hotbar_slot)
 
@@ -185,6 +195,13 @@ class RecorderJsonlWriter:
         if inventory and not self._prev_inventory:
             self._gui = not self._gui
         self._prev_inventory = inventory
+
+        # ESC closes any open GUI (the common close path besides pressing
+        # inventory again); a fresh press with no GUI open is just the key
+        esc = bool(_scalar(env_action.get("ESC", 0)))
+        if esc and not self._prev_esc:
+            self._gui = False
+        self._prev_esc = esc
 
         for slot in range(9):
             if _scalar(env_action.get(f"hotbar.{slot + 1}", 0)):

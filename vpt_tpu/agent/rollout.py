@@ -136,6 +136,26 @@ class PipelinedRolloutRunner:
         return {"frames": total, "seconds": dt, "frames_per_sec": total / dt}
 
 
+def _callback_arity(fn) -> int:
+    """Number of positional args ``fn`` accepts (2 when it takes *args or
+    can't be inspected) — lets ``run(on_step=...)`` keep supporting the
+    pre-round-3 single-argument ``on_step(actions)`` contract."""
+    import inspect
+
+    try:
+        params = inspect.signature(fn).parameters.values()
+    except (TypeError, ValueError):
+        return 2
+    if any(p.kind == inspect.Parameter.VAR_POSITIONAL for p in params):
+        return 2
+    positional = [
+        p for p in params
+        if p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                      inspect.Parameter.POSITIONAL_OR_KEYWORD)
+    ]
+    return min(len(positional), 2)
+
+
 class BatchedRolloutRunner:
     """Drives B envs with one batched agent, resetting streams on done."""
 
@@ -153,7 +173,12 @@ class BatchedRolloutRunner:
 
         ``on_step(actions, obs)`` is called once per step with the sampled
         env actions and the observations they were computed FROM (the
-        pre-step obs) — the pair a recorder or logger wants."""
+        pre-step obs) — the pair a recorder or logger wants.  Legacy
+        single-argument callbacks (``on_step(actions)``) still work: arity
+        is inspected once up front."""
+        if on_step is not None and _callback_arity(on_step) == 1:
+            one_arg = on_step
+            on_step = lambda actions, obs: one_arg(actions)  # noqa: E731
         t0 = time.perf_counter()
         total = 0
         step_times = []
