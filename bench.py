@@ -28,6 +28,10 @@ import time
 
 import numpy as np
 
+# the coupled bc-e2e leg runs loader workers next to jit compiles on what may
+# be a 1-core host; a starved worker must not fail the whole suite artifact
+os.environ.setdefault("VPT_QUEUE_TIMEOUT", "120")
+
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 
 N_STREAMS = 64
@@ -360,6 +364,121 @@ def bench_rollout_e2e(n_streams: int = N_STREAMS, width: int = 2,
     return runner.run(steps)
 
 
+def bench_single_env(n_steps: int = 40, width: int = 1) -> float:
+    """BASELINE config #1: single-env ``get_action`` loop at 1x width through
+    the public agent API (host resize → device step → device-side decode →
+    one packed D2H) — the geometry run_agent.py serves a live MineRL env at.
+    Directly comparable to the reference MineRLAgent.get_action loop
+    (bench_torch_reference.measure_single_env_fps)."""
+    from vpt_tpu.agent import MineRLAgent
+    from vpt_tpu.config import FOUNDATION_POLICY_KWARGS
+
+    kwargs = dict(FOUNDATION_POLICY_KWARGS, hidsize=1024 * width, impala_width=4 * width)
+    # float32, matching run_agent.py's single-stream default
+    agent = MineRLAgent(policy_kwargs=kwargs, pi_head_kwargs={"temperature": 2.0},
+                        batch_size=1)
+    rng = np.random.default_rng(0)
+    pool = [{"pov": rng.integers(0, 255, (360, 640, 3), dtype=np.uint8)} for _ in range(4)]
+    for i in range(3):
+        agent.get_action(pool[i % 4])
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        agent.get_action(pool[i % 4])
+    return n_steps / (time.perf_counter() - t0)
+
+
+def _bc_e2e_fixture(n_traj: int, frames_per_traj: int) -> str:
+    """Synthetic contractor corpus for the coupled-BC benchmark (cached in
+    /tmp): 640x360 mp4 + jsonl, every step non-null, periodic GUI segments so
+    the cursor-composite path runs."""
+    root = f"/tmp/vpt_bench_bc_e2e_{n_traj}x{frames_per_traj}"
+    if os.path.exists(os.path.join(root, "done")):
+        return root
+    from vpt_tpu.data.video import VideoWriter
+
+    os.makedirs(root, exist_ok=True)
+    keys = ["key.keyboard.w", "key.keyboard.a", "key.keyboard.s", "key.keyboard.d"]
+    rng = np.random.default_rng(3)
+    pool = [rng.integers(0, 255, (360, 640, 3), dtype=np.uint8) for _ in range(8)]
+    for j in range(n_traj):
+        base = os.path.join(root, f"traj{j}")
+        with VideoWriter(base + ".mp4", 640, 360, fps=20) as w:
+            for i in range(frames_per_traj):
+                w.write(pool[(i + j) % len(pool)])
+        with open(base + ".jsonl", "w") as f:
+            for i in range(frames_per_traj):
+                row = {"keyboard": {"keys": [keys[(i + j) % len(keys)]]},
+                       "mouse": {"x": 320.0, "y": 180.0, "dx": float(i % 5 - 2),
+                                 "dy": 1.0, "buttons": [], "newButtons": []},
+                       "hotbar": 0, "isGuiOpen": (i // 32) % 4 == 3}
+                f.write(json.dumps(row) + "\n")
+    with open(os.path.join(root, "done"), "w") as f:
+        f.write("ok")
+    return root
+
+
+def bench_bc_e2e(batch: int = 8, chunk: int = 32, width: int = 1,
+                 compute_dtype: str = "bfloat16", n_batches: int = 12,
+                 measure_loader_only: bool = True):
+    """COUPLED BC training: SequenceDataLoader (host decode + fixups + resize,
+    one worker per stream) → DevicePrefetcher (H2D overlap) → train steps.
+    The proof that the host data plane actually feeds training — the device-
+    resident ceiling is ``--metric bc``; the gap is the host plane.
+
+    Returns (coupled_fps, loader_only_fps)."""
+    from vpt_tpu.config import FOUNDATION_POLICY_KWARGS
+    from vpt_tpu.data.loader import SequenceDataLoader
+    from vpt_tpu.parallel.mesh import batch_sharded, make_mesh
+    from vpt_tpu.training.bc import BCHyperparams, BCTrainer, DevicePrefetcher
+
+    frames_per_traj = n_batches * chunk
+    data_dir = _bc_e2e_fixture(batch, frames_per_traj)
+
+    kwargs = dict(FOUNDATION_POLICY_KWARGS, hidsize=1024 * width, impala_width=4 * width)
+    hp = BCHyperparams(batch_size=batch, chunk_len=chunk)
+    trainer = BCTrainer(kwargs, {"temperature": 2.0}, hp=hp, mesh=make_mesh(),
+                        compute_dtype=compute_dtype, remat=False)
+    trainer.init()
+
+    # warm/compile on a synthetic batch of the same shapes (untimed)
+    rng = np.random.default_rng(0)
+    warm = {
+        "frames": rng.integers(0, 255, (batch, chunk, 128, 128, 3), dtype=np.uint8),
+        "buttons": rng.integers(0, 8641, (batch, chunk)).astype(np.int32),
+        "camera": rng.integers(0, 121, (batch, chunk)).astype(np.int32),
+        "firsts": np.zeros((batch, chunk), bool),
+        "mask": np.ones((batch, chunk), bool),
+    }
+    state = trainer.initial_state(batch)
+    state, loss, _ = trainer.train_step(warm, state)
+    state, loss, _ = trainer.train_step(warm, state)
+    float(loss)
+
+    loader = SequenceDataLoader(data_dir, batch_size=batch, chunk_len=chunk,
+                                n_epochs=1, seed=0)
+    prefetcher = DevicePrefetcher(loader, batch_sharded(trainer.mesh))
+    frames = 0
+    t0 = time.perf_counter()
+    for placed in prefetcher:
+        state, loss, _ = trainer.train_step(
+            {k: placed[k] for k in ("frames", "buttons", "camera", "firsts", "mask")},
+            state)
+        frames += placed["mask"].size  # B*T dispatched frames (padding included)
+    float(loss)  # force the tail
+    coupled_fps = frames / (time.perf_counter() - t0)
+
+    loader_only_fps = None
+    if measure_loader_only:
+        loader = SequenceDataLoader(data_dir, batch_size=batch, chunk_len=chunk,
+                                    n_epochs=1, seed=0)
+        n2 = 0
+        t0 = time.perf_counter()
+        for b in loader:
+            n2 += b["mask"].size
+        loader_only_fps = n2 / (time.perf_counter() - t0)
+    return coupled_fps, loader_only_fps
+
+
 def bench_ppo_collect(n_streams: int = 64, rollout_len: int = 64, width: int = 2,
                       groups: int = 1, compute_dtype: str = "bfloat16",
                       n_windows: int = 3) -> float:
@@ -431,39 +550,53 @@ def bench_idm_e2e(window: int = 128, stride: int = 64, window_batch: int = 8,
 
 
 def bench_torch_baseline(n_streams: int = N_STREAMS, width: int = 2) -> float:
-    """Same architecture, reference framework (torch), available hardware (CPU)."""
-    from bench_torch_ref import measure_policy_step_fps
+    """Same architecture, the reference's own code (torch), available
+    hardware (CPU): MinecraftAgentPolicy.act imported from /root/reference."""
+    from bench_torch_reference import install_reference, measure_rollout_fps
 
-    return measure_policy_step_fps(n_streams=n_streams, n_steps=3, width=width)
+    install_reference()
+    return measure_rollout_fps(width=width, n_streams=n_streams)
 
 
-VS_BASELINE_IS = ("torch-CPU (1 core) measurement of the reference architecture — "
-                  "the reference framework on this image's only torch hardware; "
-                  "mxu_utilization vs the measured chip ceiling is the device-limit view")
+VS_BASELINE_IS = ("torch-CPU (1 core) measurement of the REFERENCE CODE ITSELF "
+                  "(imported from /root/reference and driven — bench_torch_reference.py) "
+                  "on this image's only torch hardware; mxu_utilization vs the "
+                  "measured chip ceiling is the device-limit view")
+
+
+def read_baseline_key(key: str):
+    """A cached torch-reference measurement from BENCH_BASELINE.json (written
+    by bench_torch_reference.py); None when unmeasured."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            v = json.load(f).get(key)
+        return float(v) if v else None
+    return None
 
 
 def torch_cpu_baseline(width: int, n_streams: int, remeasure: bool = False):
-    """Cached torch-CPU fps of the reference arch at ``width`` AND
+    """Cached torch-CPU fps of the reference code at ``width`` AND
     ``n_streams`` (the baseline must be measured at the same serving
-    geometry it is ratioed against).  None on failure."""
+    geometry it is ratioed against).  Prefers the reference-driven
+    measurement; falls back to the rounds-1-3 re-implementation cache, then
+    measures fresh.  None on failure."""
     cache = {}
-    key = f"torch_cpu_fps_{width}x_s{n_streams}"
-    legacy = f"torch_cpu_fps_{width}x"  # rounds 1-2 measured at 64 streams
+    ref_key = f"torch_ref_rollout_fps_{width}x_s{n_streams}"
+    legacy_keys = [f"torch_cpu_fps_{width}x_s{n_streams}"]
+    if n_streams == 64:
+        legacy_keys.append(f"torch_cpu_fps_{width}x")  # rounds 1-2 measured at 64
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cache = json.load(f)
-        if key not in cache and n_streams == 64 and legacy in cache:
-            cache[key] = cache[legacy]
-        if not remeasure and cache.get(key):
-            return float(cache[key])
+        if not remeasure:
+            for key in [ref_key] + legacy_keys:
+                if cache.get(key):
+                    return float(cache[key])
     try:
         baseline = bench_torch_baseline(n_streams=n_streams, width=width)
-        cache[key] = baseline
-        cache["note"] = ("reference architecture in torch on this host's CPU "
-                         "(no CUDA in image); single-step rollout at the "
-                         "stream count encoded in each key's _sN suffix")
+        cache[ref_key] = round(baseline, 4)
         with open(BASELINE_CACHE, "w") as f:
-            json.dump(cache, f)
+            json.dump(cache, f, indent=1)
         return baseline
     except Exception as e:
         print(f"# baseline measurement failed: {e!r}", flush=True)
@@ -499,11 +632,15 @@ def result_idm(ceiling, compute_dtype="bfloat16", quantize_dense=False, window_b
         name += f", {window_batch} windows/forward"
     if quantize_dense:
         name += ", int8 dense"
+    baseline = read_baseline_key("torch_ref_idm_fps_w128")
     return {
         "metric": name,
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": None,
+        # torch reference IDMAgent.predict_actions, same arch, one 128-frame
+        # window (window batching is a capability the reference lacks)
+        "vs_baseline": round(fps / baseline, 2) if baseline else None,
+        "vs_baseline_is": VS_BASELINE_IS if baseline else None,
         # IDM_4X_KWARGS mirrors the documented 4x scaling; the published
         # 4x_idm.model ships its own kwargs (unavailable offline)
         "arch_note": "representative 4x architecture, not the published .model kwargs",
@@ -519,11 +656,19 @@ def result_bc(ceiling, width=1, compute_dtype="bfloat16", chunk=None, batch=None
     batch = batch or 8  # the reference's BATCH_SIZE (behavioural_cloning.py:28)
     fps, fpf, h2d, scan_chunks = bench_bc_train(compute_dtype=compute_dtype, width=width,
                                                 chunk=chunk, batch=batch, remat=remat)
+    # the reference trains 1x only (behavioural_cloning.py); compute-only
+    # torch baseline (batches preloaded to memory) matches our device-resident
+    # number's accounting.  Geometry note: the reference is architecturally
+    # single-step (T=1 grad accumulation); ours is sequence-chunked.
+    baseline = read_baseline_key("torch_ref_bc_1x_fps_compute") if width == 1 else None
     out = {
         "metric": f"{width}x BC training throughput (B={batch}, T={chunk}), sequence-chunked DP, pipelined input",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": None,
+        "vs_baseline": round(fps / baseline, 2) if baseline else None,
+        "vs_baseline_is": (VS_BASELINE_IS + "; reference loop is per-sample "
+                           "single-step grad accumulation (its only mode), "
+                           "compute-only (loader preloaded)") if baseline else None,
         "h2d_seconds_per_batch": round(h2d, 3),
         **roofline_fields(fps, fpf, ceiling),
     }
@@ -534,9 +679,71 @@ def result_bc(ceiling, width=1, compute_dtype="bfloat16", chunk=None, batch=None
     return out
 
 
+def result_single_env(n_steps: int = 40):
+    fps = bench_single_env(n_steps=n_steps)
+    baseline = read_baseline_key("torch_ref_single_env_1x_fps")
+    return {
+        "metric": "single-env get_action latency loop, 1x arch (BASELINE config #1)",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / baseline, 2) if baseline else None,
+        "vs_baseline_is": VS_BASELINE_IS if baseline else None,
+        "note": "per-step D2H round trip dominates on the tunneled dev chip; "
+                "realtime bar is 20 fps (reference README.md:311)",
+    }
+
+
+def result_bc_e2e(compute_dtype="bfloat16", batch=8, chunk=32, n_batches=12):
+    coupled, loader_only = bench_bc_e2e(batch=batch, chunk=chunk,
+                                        compute_dtype=compute_dtype,
+                                        n_batches=n_batches)
+    baseline = read_baseline_key("torch_ref_bc_1x_fps_coupled")
+    return {
+        "metric": f"COUPLED 1x BC training (B={batch}, T={chunk}): "
+                  "SequenceDataLoader → DevicePrefetcher → train steps",
+        "value": round(coupled, 2),
+        "unit": "frames/sec/chip",
+        # the symmetric torch number: the reference's own trainer with its
+        # live multiprocessing loader on this host
+        "vs_baseline": round(coupled / baseline, 2) if baseline else None,
+        "vs_baseline_is": (VS_BASELINE_IS + "; coupled = its live 8-worker "
+                           "loader feeding the loop") if baseline else None,
+        "loader_only_fps": round(loader_only, 1) if loader_only else None,
+        "note": "host-decode-bound on this 1-core host: coupled ≈ loader "
+                "ceiling; device-resident ceiling is the bc_1x row",
+    }
+
+
+def result_idm_e2e(compute_dtype="bfloat16", window_batch=8):
+    fps = bench_idm_e2e(window_batch=window_batch, compute_dtype=compute_dtype)
+    return {
+        "metric": f"end-to-end IDM labeling (decode+resize+label), 4x arch, "
+                  f"window 128 stride 64, {window_batch} windows/forward",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": None,
+        "note": "host-decode-bound on few-core hosts; device ceiling is the idm_4x row",
+    }
+
+
+def result_rollout_e2e(compute_dtype="bfloat16", streams=128, width=2, steps=20):
+    stats = bench_rollout_e2e(n_streams=streams, width=width,
+                              compute_dtype=compute_dtype, steps=steps)
+    return {
+        "metric": f"end-to-end serving (mock envs), {width}x arch, {streams} streams, 4 groups",
+        "value": round(stats["frames_per_sec"], 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": None,
+        "latency": stats["latency"],
+        "note": "H2D wire-bound on the tunneled dev chip (~38 MB/s resized-frame upload)",
+    }
+
+
 def result_suite(ceiling, args):
-    """The BASELINE.json headline set: 3x rollout (top-level value), plus
-    2x rollout, 4x IDM, and 1x BC under ``suite``.  Sub-benches run in
+    """The BASELINE.json headline set: 3x rollout (top-level value), plus the
+    per-config rows under ``suite`` — 2x rollout, 4x IDM, 1x BC
+    (device-resident), the flagship 2x/T=128 BC geometry, COUPLED bc-e2e,
+    single-env config #1, and the idm/rollout e2e legs.  Sub-benches run in
     separate functions so device buffers free between them; each is guarded
     so one failure cannot blank the whole artifact."""
     import gc
@@ -563,6 +770,14 @@ def result_suite(ceiling, args):
         "idm_4x": guarded(result_idm, ceiling, compute_dtype=args.compute_dtype,
                           window_batch=8),
         "bc_1x": guarded(result_bc, ceiling, width=1, compute_dtype=args.compute_dtype),
+        # the flagship training geometry: 2x width at the architecture's
+        # native T=128 context (reference agent.py:33), CNN-scan + remat
+        "bc_2x_T128": guarded(result_bc, ceiling, width=2,
+                              compute_dtype=args.compute_dtype),
+        "bc_1x_e2e": guarded(result_bc_e2e, compute_dtype=args.compute_dtype),
+        "single_env_1x": guarded(result_single_env),
+        "idm_e2e": guarded(result_idm_e2e, compute_dtype=args.compute_dtype),
+        "rollout_e2e_2x": guarded(result_rollout_e2e, compute_dtype=args.compute_dtype),
     }
     if "error" in headline:
         headline = {"metric": "3x rollout (failed)", "value": None,
@@ -580,7 +795,7 @@ def main():
     ap.add_argument("--remeasure-baseline", action="store_true")
     ap.add_argument("--metric", default="suite",
                     choices=["suite", "rollout", "rollout-e2e", "idm", "idm-e2e",
-                             "bc", "ppo-collect"])
+                             "bc", "bc-e2e", "single-env", "ppo-collect"])
     ap.add_argument("--groups", type=int, default=1,
                     help="ppo-collect: round-robin collection groups (pipelined when >1)")
     ap.add_argument("--window-batch", type=int, default=None,
@@ -637,22 +852,21 @@ def main():
         return
 
     if args.metric == "rollout-e2e":
-        args.width = args.width or 2
-        streams = args.streams or 128
-        stats = bench_rollout_e2e(n_streams=streams, width=args.width,
-                                  compute_dtype=args.compute_dtype)
-        print(json.dumps({
-            "metric": f"end-to-end serving (mock envs), {args.width}x arch, {streams} streams, 4 groups",
-            "value": round(stats["frames_per_sec"], 2),
-            "unit": "frames/sec/chip",
-            "vs_baseline": None,
-            # per-rotation latency: every stream advances one frame per
-            # rotation, so realtime_factor_p99 > 1 ⇔ live 20 Hz serving holds
-            "latency": stats["latency"],
-            # on this tunneled dev chip the H2D wire (~38 MB/s) caps resized-
-            # frame upload at ~800 fps; a real TPU host's PCIe does not
-            "note": "H2D wire-bound on the tunneled dev chip",
-        }))
+        # per-rotation latency: every stream advances one frame per rotation,
+        # so realtime_factor_p99 > 1 ⇔ live 20 Hz serving holds
+        print(json.dumps(result_rollout_e2e(compute_dtype=args.compute_dtype,
+                                            streams=args.streams or 128,
+                                            width=args.width or 2, steps=30)))
+        return
+
+    if args.metric == "bc-e2e":
+        print(json.dumps(result_bc_e2e(compute_dtype=args.compute_dtype,
+                                       batch=args.batch or 8,
+                                       chunk=args.chunk or 32)))
+        return
+
+    if args.metric == "single-env":
+        print(json.dumps(result_single_env()))
         return
 
     if args.metric == "bc":
@@ -670,16 +884,8 @@ def main():
         return
 
     if args.metric == "idm-e2e":
-        wb = args.window_batch or 8
-        fps = bench_idm_e2e(window_batch=wb, compute_dtype=args.compute_dtype)
-        print(json.dumps({
-            "metric": f"end-to-end IDM labeling (decode+resize+label), 4x arch, "
-                      f"window 128 stride 64, {wb} windows/forward",
-            "value": round(fps, 2),
-            "unit": "frames/sec",
-            "vs_baseline": None,
-            "note": "host-decode-bound on few-core hosts; device ceiling is --metric idm",
-        }))
+        print(json.dumps(result_idm_e2e(compute_dtype=args.compute_dtype,
+                                        window_batch=args.window_batch or 8)))
         return
 
     args.width = args.width or 2
