@@ -175,16 +175,26 @@ def bench_tpu(n_streams: int = N_STREAMS, compute_dtype: str = "bfloat16", width
 
 
 IDM_4X_KWARGS = dict(
-    # representative 4x-width IDM architecture (the published checkpoint ships
-    # its own kwargs in 4x_idm.model; this mirrors the documented scaling:
-    # 4x the 1x policy's hidsize/impala width, Conv3D front end, bidirectional)
+    # Representative 4x-width IDM architecture (the published checkpoint
+    # ships its own kwargs in 4x_idm.model — unavailable offline).  Pinned to
+    # the only published size fact: the paper's IDM is a 0.5B-parameter
+    # model.  4x width (hidsize 4096, impala_width 16, 32 heads, conv3d
+    # front, bidirectional) with 4 residual blocks would be 0.89B; at
+    # n_recurrence_layers=2 the model lands at 0.482B — the 0.5B class the
+    # throughput headline must benchmark (asserted in
+    # tests/test_full_geometry_parity.py::test_idm_4x_bench_arch_param_count).
+    # Expected delta vs the real 4x_idm.model once egress exists: depth
+    # (n_recurrence_layers) and possibly attention_memory_size are the only
+    # free axes; width/conv3d/head structure follow the documented 4x scaling.
     hidsize=4096,
     impala_width=16,
     impala_chans=[16, 32, 32],
-    img_shape=[128, 128, 3],
+    # reference convention: img_shape[2] declares the IMPALA input channel
+    # count = conv3d OUTPUT channels (the published 4x IDM ships [128,128,128])
+    img_shape=[128, 128, 128],
     init_norm_kwargs={"batch_norm": False, "group_norm_groups": 1},
     impala_kwargs={"post_pool_groups": 1},
-    n_recurrence_layers=4,
+    n_recurrence_layers=2,
     timesteps=128,
     attention_heads=32,
     attention_memory_size=256,
@@ -641,9 +651,11 @@ def result_idm(ceiling, compute_dtype="bfloat16", quantize_dense=False, window_b
         # window (window batching is a capability the reference lacks)
         "vs_baseline": round(fps / baseline, 2) if baseline else None,
         "vs_baseline_is": VS_BASELINE_IS if baseline else None,
-        # IDM_4X_KWARGS mirrors the documented 4x scaling; the published
-        # 4x_idm.model ships its own kwargs (unavailable offline)
-        "arch_note": "representative 4x architecture, not the published .model kwargs",
+        # IDM_4X_KWARGS mirrors the documented 4x scaling at the paper's
+        # 0.5B size; the published 4x_idm.model ships its own kwargs
+        # (unavailable offline) — see the IDM_4X_KWARGS comment
+        "arch_note": "representative 4x architecture (0.48B params, the paper's "
+                     "0.5B IDM class), not the published .model kwargs",
         **roofline_fields(fps, fpf, ceiling),
     }
 
