@@ -63,7 +63,18 @@ def test_rollout_recording(tmp_path):
     if not native_available():
         pytest.skip("native video plane unavailable")
 
-    from run_agent import _make_recorder
+    # import by explicit path: after test_reference_oracle's _install_reference
+    # runs, a bare `import run_agent` would resolve to /root/reference's script
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "vpt_repo_run_agent",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "run_agent.py"),
+    )
+    repo_run_agent = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(repo_run_agent)
+    _make_recorder = repo_run_agent._make_recorder
 
     agent = MineRLAgent(policy_kwargs=TINY_KWARGS, pi_head_kwargs={"temperature": 2.0},
                         batch_size=2)
