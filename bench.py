@@ -106,7 +106,8 @@ def roofline_fields(fps, flops_per_item, ceiling_tflops):
 
 
 def bench_tpu(n_streams: int = N_STREAMS, compute_dtype: str = "bfloat16", width: int = 2,
-              params_dtype: str = "float32", quantize_dense: bool = False):
+              params_dtype: str = "float32", quantize_dense: bool = False,
+              pool_impl: str = "xla"):
     import jax
     import jax.numpy as jnp
 
@@ -117,7 +118,8 @@ def bench_tpu(n_streams: int = N_STREAMS, compute_dtype: str = "bfloat16", width
     from vpt_tpu.spaces import DictType
 
     cfg = PolicyConfig.from_kwargs(FOUNDATION_POLICY_KWARGS).replace(
-        compute_dtype=compute_dtype, hidsize=1024 * width, impala_width=4 * width
+        compute_dtype=compute_dtype, hidsize=1024 * width, impala_width=4 * width,
+        pool_impl=pool_impl,
     )
     mapper = CameraHierarchicalMapping(n_camera_bins=11)
     specs = head_specs_from_space(DictType(**mapper.get_action_space_update()))
@@ -206,7 +208,8 @@ IDM_4X_KWARGS = dict(
 
 
 def bench_idm(window: int = 128, n_windows: int = 4, compute_dtype: str = "bfloat16",
-              quantize_dense: bool = False, window_batch: int = 1):
+              quantize_dense: bool = False, window_batch: int = 1,
+              pool_impl: str = "xla"):
     """IDM labeling throughput: frames/sec for 128-frame-window batches
     (BASELINE.json config #3).  ``quantize_dense`` serves the trunk's dense
     layers from int8 weights (2x MXU peak, half the weight HBM traffic);
@@ -221,7 +224,8 @@ def bench_idm(window: int = 128, n_windows: int = 4, compute_dtype: str = "bfloa
     from vpt_tpu.models.policy import InverseActionPolicy, policy_initial_state
     from vpt_tpu.spaces import DictType
 
-    cfg = PolicyConfig.from_kwargs(IDM_4X_KWARGS).replace(compute_dtype=compute_dtype)
+    cfg = PolicyConfig.from_kwargs(IDM_4X_KWARGS).replace(
+        compute_dtype=compute_dtype, pool_impl=pool_impl)
     mapper = IDMActionMapping(n_camera_bins=11)
     specs = head_specs_from_space(DictType(**mapper.get_action_space_update()))
     model = InverseActionPolicy(cfg=cfg, head_specs=specs, temperature=1.0)
@@ -262,7 +266,7 @@ def bench_idm(window: int = 128, n_windows: int = 4, compute_dtype: str = "bfloa
 
 def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
                    compute_dtype: str = "bfloat16", width: int = 1,
-                   remat: bool = None):
+                   remat: bool = None, pool_impl: str = "xla"):
     """Sequence-chunked BC training throughput (frames/sec) for the
     foundation architecture at ``width`` (BASELINE.json config #4's compute
     core).  width≥2 at chunk 128 needs CNN scan-chunking to fit 16 GB.
@@ -284,7 +288,8 @@ def bench_bc_train(batch: int = 8, chunk: int = 32, steps: int = 10,
     from vpt_tpu.parallel.mesh import make_mesh
     from vpt_tpu.training.bc import BCHyperparams, BCTrainer
 
-    kwargs = dict(FOUNDATION_POLICY_KWARGS, hidsize=1024 * width, impala_width=4 * width)
+    kwargs = dict(FOUNDATION_POLICY_KWARGS, hidsize=1024 * width,
+                  impala_width=4 * width, pool_impl=pool_impl)
     hp = BCHyperparams(batch_size=batch, chunk_len=chunk)
     # Measured fit boundary: activation memory is ~linear in frame count B·T
     # and in width (CNN channel count), so `frames · width` is the proxy.
@@ -614,10 +619,11 @@ def torch_cpu_baseline(width: int, n_streams: int, remeasure: bool = False):
 
 
 def result_rollout(ceiling, width=2, streams=N_STREAMS, compute_dtype="bfloat16",
-                   params_dtype="float32", quantize_dense=False, remeasure=False):
+                   params_dtype="float32", quantize_dense=False, remeasure=False,
+                   pool_impl="xla"):
     fps, fpf = bench_tpu(n_streams=streams, compute_dtype=compute_dtype,
                          width=width, params_dtype=params_dtype,
-                         quantize_dense=quantize_dense)
+                         quantize_dense=quantize_dense, pool_impl=pool_impl)
     baseline = torch_cpu_baseline(width, streams, remeasure=remeasure)
     variant = ""
     if quantize_dense:
@@ -634,9 +640,10 @@ def result_rollout(ceiling, width=2, streams=N_STREAMS, compute_dtype="bfloat16"
     }
 
 
-def result_idm(ceiling, compute_dtype="bfloat16", quantize_dense=False, window_batch=1):
+def result_idm(ceiling, compute_dtype="bfloat16", quantize_dense=False, window_batch=1,
+               pool_impl="xla"):
     fps, fpf = bench_idm(compute_dtype=compute_dtype, quantize_dense=quantize_dense,
-                         window_batch=window_batch)
+                         window_batch=window_batch, pool_impl=pool_impl)
     name = "4x IDM labeling throughput, 128-frame windows"
     if window_batch > 1:
         name += f", {window_batch} windows/forward"
@@ -661,13 +668,14 @@ def result_idm(ceiling, compute_dtype="bfloat16", quantize_dense=False, window_b
 
 
 def result_bc(ceiling, width=1, compute_dtype="bfloat16", chunk=None, batch=None,
-              remat=None):
+              remat=None, pool_impl="xla"):
     if chunk is None:
         # the README-pinned configs: 1x at T=32, flagship T=128 from 2x up
         chunk = 128 if width >= 2 else 32
     batch = batch or 8  # the reference's BATCH_SIZE (behavioural_cloning.py:28)
     fps, fpf, h2d, scan_chunks = bench_bc_train(compute_dtype=compute_dtype, width=width,
-                                                chunk=chunk, batch=batch, remat=remat)
+                                                chunk=chunk, batch=batch, remat=remat,
+                                                pool_impl=pool_impl)
     # the reference trains 1x only (behavioural_cloning.py); compute-only
     # torch baseline (batches preloaded to memory) matches our device-resident
     # number's accounting.  Geometry note: the reference is architecturally
@@ -827,6 +835,10 @@ def main():
                     help="idm/rollout metrics: serve trunk dense layers from int8 weights")
     ap.add_argument("--params-dtype", default="float32", choices=["float32", "bfloat16"],
                     help="rollout metric: serving parameter storage dtype")
+    ap.add_argument("--pool-impl", default="xla", choices=["xla", "shifted", "subsample"],
+                    help="rollout/idm/bc: maxpool lowering (xla = SelectAndScatter "
+                         "backward, measured faster; shifted = nine-slice backward, "
+                         "measured 2x slower on the HBM-bound BC step)")
     args = ap.parse_args()
 
     if args.metric == "suite":
@@ -838,6 +850,7 @@ def main():
             ("--width", args.width is not None),
             ("--batch", args.batch is not None),
             ("--remat", args.remat != "auto"),
+            ("--pool-impl", args.pool_impl != "xla"),
         ] if on]
         if ignored:
             ap.error(f"{', '.join(ignored)} have no effect with --metric suite; "
@@ -886,13 +899,15 @@ def main():
         remat = {"auto": None, "on": True, "off": False}[args.remat]
         print(json.dumps(result_bc(ceiling, width=width,
                                    compute_dtype=args.compute_dtype, chunk=args.chunk,
-                                   batch=args.batch, remat=remat)))
+                                   batch=args.batch, remat=remat,
+                                   pool_impl=args.pool_impl)))
         return
 
     if args.metric == "idm":
         print(json.dumps(result_idm(ceiling, compute_dtype=args.compute_dtype,
                                     quantize_dense=args.quantize_dense,
-                                    window_batch=args.window_batch or 1)))
+                                    window_batch=args.window_batch or 1,
+                                    pool_impl=args.pool_impl)))
         return
 
     if args.metric == "idm-e2e":
@@ -905,6 +920,7 @@ def main():
         ceiling, width=args.width, streams=args.streams or N_STREAMS,
         compute_dtype=args.compute_dtype, params_dtype=args.params_dtype,
         quantize_dense=args.quantize_dense, remeasure=args.remeasure_baseline,
+        pool_impl=args.pool_impl,
     )))
 
 

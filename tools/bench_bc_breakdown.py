@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -37,6 +38,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--cnn-detail", action="store_true",
+                    help="also itemize the CNN: per-stack fwd / fwd+bwd, plus "
+                         "op-level chains (maxpool backward = SelectAndScatter, "
+                         "GN round trips, bare convs) at the trunk's shapes")
     args = ap.parse_args()
 
     import flax.linen as nn
@@ -46,7 +51,7 @@ def main():
 
     from vpt_tpu.config import FOUNDATION_POLICY_KWARGS
     from vpt_tpu.models.heads import dict_logprob
-    from vpt_tpu.models.layers import LayerNorm
+    from vpt_tpu.models.layers import LN_EPS, LayerNorm
     from vpt_tpu.models.policy import ImgObsProcess, ImgPreprocessing, policy_initial_state
     from vpt_tpu.models.transformer import ResidualRecurrentBlocks
     from vpt_tpu.parallel.mesh import make_mesh
@@ -277,6 +282,106 @@ def main():
              + results["tail_loss_grad_ms"]) / results["grad_ms"], 3),
         "fps_implied": round(B * T / (step / 1e3), 1),
     }
+
+    # ---- op-level CNN itemization (--cnn-detail) ----------------------------
+    # The coarse breakdown above shows the step is CNN-bound (cnn_grad_ms ≈
+    # 90% of grad_ms at 1x).  This section finds WHICH ops inside the trunk
+    # eat the backward: per-stack fwd / fwd+bwd chains, the maxpool backward
+    # (XLA lowers it to SelectAndScatter — the canonical slow op on TPU), the
+    # f32 GroupNorm round trips between bf16 convs, and the bare convs.
+    if args.cnn_detail:
+        from vpt_tpu.models.impala import CnnDownStack
+
+        cdt = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+        chans = [4 * args.width * c for c in (16, 32, 32)]
+        # (input_hw, in_chan, out_chan, first_conv_norm) per stack, 1x BC geometry
+        stack_geoms = [(128, 3, chans[0], False),
+                       (64, chans[0], chans[1], True),
+                       (32, chans[1], chans[2], True)]
+        detail = {}
+
+        def grad_chain(mod, x, label, iters=args.iters):
+            vars_ = jax.jit(mod.init)(key, x)
+
+            def body(c, consts):
+                vars_, x = consts
+
+                def f(v):
+                    return jnp.sum(mod.apply(v, x + c * jnp.asarray(1e-30, x.dtype)).astype(jnp.float32))
+
+                val, g = jax.value_and_grad(f)(vars_)
+                return val + optax.global_norm(g) * 1e-30
+
+            dt = chain_time(body, jnp.float32(0), (vars_, x), iters)
+            detail[label + "_grad_ms"] = round(dt * 1e3, 3)
+
+        def fwd_chain(mod, x, label, iters=args.iters):
+            vars_ = jax.jit(mod.init)(key, x)
+
+            def body(c, consts):
+                vars_, x = consts
+                return jnp.sum(mod.apply(vars_, x + c * jnp.asarray(1e-30, x.dtype)).astype(jnp.float32))
+
+            dt = chain_time(body, jnp.float32(0), (vars_, x), iters)
+            detail[label + "_fwd_ms"] = round(dt * 1e3, 3)
+
+        for i, (hw, cin, cout, fcn) in enumerate(stack_geoms):
+            stack = CnnDownStack(outchan=cout, nblock=2, init_scale=math.sqrt(3),
+                                 post_pool_groups=1, group_norm_groups=1,
+                                 first_conv_norm=fcn, dtype=cdt)
+            x = jnp.asarray(rng.standard_normal((B * T, hw, hw, cin)), cdt)
+            fwd_chain(stack, x, f"stack{i}")
+            grad_chain(stack, x, f"stack{i}")
+
+        # maxpool alone — fwd and fwd+bwd at each stack's pre-pool shape
+        class Pool(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                p = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+                return p * self.param("s", nn.initializers.ones, (1,), jnp.float32).astype(p.dtype)
+
+        for i, (hw, _, cout, _) in enumerate(stack_geoms):
+            x = jnp.asarray(rng.standard_normal((B * T, hw, hw, cout)), cdt)
+            grad_chain(Pool(), x, f"pool{i}")
+            fwd_chain(Pool(), x, f"pool{i}")
+
+        # one f32 GroupNorm(1) round trip from/to bf16, fwd+bwd, per shape
+        class GN(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                y = nn.GroupNorm(num_groups=1, epsilon=LN_EPS, dtype=jnp.float32,
+                                 param_dtype=jnp.float32)(x)
+                return y.astype(x.dtype)
+
+        for i, (hw, _, cout, _) in enumerate(stack_geoms):
+            hw2 = (hw + 1) // 2
+            x = jnp.asarray(rng.standard_normal((B * T, hw2, hw2, cout)), cdt)
+            grad_chain(GN(), x, f"gn{i}")
+
+        # bare 3x3 conv (no norm), fwd+bwd, at each distinct conv shape
+        class BareConv(nn.Module):
+            cout: int
+
+            @nn.compact
+            def __call__(self, x):
+                return nn.Conv(self.cout, (3, 3), padding=((1, 1), (1, 1)),
+                               use_bias=False, dtype=cdt, param_dtype=jnp.float32)(x)
+
+        conv_geoms = {
+            "conv_stem_128_3to64": (128, 3, chans[0]),        # stack0 firstconv
+            "conv_block_64_64": (64, chans[0], chans[0]),     # stack0 blocks
+            "conv_first_64_64to128": (64, chans[0], chans[1]),  # stack1 firstconv
+            "conv_block_32_128": (32, chans[1], chans[1]),    # stack1 blocks
+            "conv_first_32_128to128": (32, chans[1], chans[2]),  # stack2 firstconv
+            "conv_block_16_128": (16, chans[2], chans[2]),    # stack2 blocks
+        }
+        for label, (hw, cin, cout) in conv_geoms.items():
+            x = jnp.asarray(rng.standard_normal((B * T, hw, hw, cin)), cdt)
+            grad_chain(BareConv(cout), x, label)
+            fwd_chain(BareConv(cout), x, label)
+
+        results["cnn_detail"] = detail
+
     print(json.dumps(results))
 
 

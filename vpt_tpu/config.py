@@ -65,6 +65,14 @@ class PolicyConfig:
     # (trades FLOPs for memory; needed for full-size T=128 training chunks).
     remat: bool = False
 
+    # Maxpool lowering: "xla" (nn.max_pool; backward = SelectAndScatter) or
+    # "shifted" (nine-slice backward, ops/pooling.py).  Values identical.
+    # Measured on the chip (tools/profile_hlo.py, ROADMAP "BC backward"):
+    # the whole CNN backward is HBM-bound and SelectAndScatter is only 7.4%
+    # of device time at ~520 GB/s, so the byte-heavier shifted backward
+    # HALVES 1x BC throughput (2613 vs 5105 fps).  Keep "xla".
+    pool_impl: str = "xla"
+
     # Sequentialize the (B·T)-folded CNN over this many chunks (0 = off).
     # The CNN is per-frame, so scanning it bounds peak activation memory at
     # (B·T/chunks) frames — the stack-0 conv buffer of the 2x model is 4 GB

@@ -60,6 +60,7 @@ class CnnDownStack(nn.Module):
     group_norm_groups: Optional[int] = None
     first_conv_norm: bool = True
     dtype: Any = jnp.float32
+    pool_impl: str = "xla"  # "xla" (default, measured faster) | "shifted"
 
     @nn.compact
     def __call__(self, x):
@@ -74,7 +75,21 @@ class CnnDownStack(nn.Module):
             name="firstconv",
         )(x)
         if self.pool:
-            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            if self.pool_impl == "shifted":
+                # Same values as nn.max_pool with a nine-slice backward in
+                # place of SelectAndScatter (ops/pooling.py).  Measured 2x
+                # SLOWER in the 1x BC step — the backward is HBM-bound and
+                # this variant moves more bytes.  Kept for measurement only.
+                from vpt_tpu.ops.pooling import max_pool_3x3s2
+
+                x = max_pool_3x3s2(x)
+            elif self.pool_impl == "subsample":
+                # DEBUG ONLY (wrong math, right shapes): strided subsample in
+                # place of the pool, to measure the pool's true in-graph cost
+                # by differencing against "xla"/"shifted" runs.
+                x = x[:, ::2, ::2, :]
+            else:
+                x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
             if self.post_pool_groups is not None:
                 x = nn.GroupNorm(num_groups=self.post_pool_groups, epsilon=LN_EPS,
                                  dtype=jnp.float32, param_dtype=jnp.float32, name="n")(x)
@@ -110,6 +125,7 @@ class ImpalaCNN(nn.Module):
     dense_layer_norm: bool = True
     dtype: Any = jnp.float32
     remat: bool = False
+    pool_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x_bthwc):
@@ -129,6 +145,7 @@ class ImpalaCNN(nn.Module):
                 group_norm_groups=self.group_norm_groups,
                 first_conv_norm=self.first_conv_norm if i == 0 else True,
                 dtype=self.dtype,
+                pool_impl=self.pool_impl,
                 name=f"stacks_{i}",
             )(x)
         # channel-major (C, H, W) flatten for torch weight-layout parity

@@ -98,6 +98,7 @@ class ImgObsProcess(nn.Module):
             dense_layer_norm=cfg.dense_use_layer_norm,
             dtype=dtype,
             remat=cfg.remat,
+            pool_impl=cfg.pool_impl,
         )
         chunks = cfg.cnn_scan_chunks
         b, t = x.shape[:2]
