@@ -25,6 +25,7 @@ import argparse
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -147,7 +148,10 @@ def bench_tpu(n_streams: int = N_STREAMS, compute_dtype: str = "bfloat16", width
 
         variables = cast_params(variables, params_dtype)
 
-    @jax.jit
+    # donate the recurrent state (like the serving path, agent/agent.py):
+    # without it XLA must copy every ring cache before its slot write —
+    # ~48 MB per block per step at 3x — because the input buffer is live
+    @partial(jax.jit, donate_argnums=(3,))
     def step(variables, img, first, state, key):
         out, state = model.apply(variables, img, first, state)
         logits = jax.tree.map(lambda x: x[:, -1], out["pi_logits"])

@@ -49,7 +49,7 @@ def test_ring_equals_linear_over_long_run(setup):
     firsts = jnp.asarray(firsts)
 
     lin0 = [masked_attention_initial_state(2, MAXLEN, HID, jnp.float32) for _ in range(NBLOCK)]
-    ring0 = [ring_initial_state(2, MAXLEN, HID, jnp.float32) for _ in range(NBLOCK)]
+    ring0 = [ring_initial_state(2, MAXLEN, HID, jnp.float32, HEADS) for _ in range(NBLOCK)]
     out_lin, _ = _run(step, params, xs, firsts, lin0)
     out_ring, ring_state = _run(step, params, xs, firsts, ring0)
     np.testing.assert_allclose(out_ring, out_lin, rtol=2e-4, atol=2e-5)
@@ -58,7 +58,7 @@ def test_ring_equals_linear_over_long_run(setup):
 
 def test_ring_state_mask_resets(setup):
     step, params = setup
-    ring0 = [ring_initial_state(2, MAXLEN, HID, jnp.float32) for _ in range(NBLOCK)]
+    ring0 = [ring_initial_state(2, MAXLEN, HID, jnp.float32, HEADS) for _ in range(NBLOCK)]
     x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 1, HID)).astype(np.float32))
     # warm the cache for 4 steps
     state = ring0
@@ -79,7 +79,7 @@ def test_ring_rejects_chunks(setup):
         attention_heads=HEADS, attention_memory_size=4 + MAXLEN,
         attention_mask_style="clipped_causal",
     )
-    ring0 = [ring_initial_state(2, MAXLEN, HID, jnp.float32) for _ in range(NBLOCK)]
+    ring0 = [ring_initial_state(2, MAXLEN, HID, jnp.float32, HEADS) for _ in range(NBLOCK)]
     x = jnp.zeros((2, 4, HID))
     with pytest.raises(AssertionError):
         chunk.apply(params, x, jnp.zeros((2, 4), bool), ring0)
@@ -111,7 +111,7 @@ def test_ring_to_linear_conversion_continues_chunkwise(setup):
         firsts = jnp.asarray(firsts)
 
         lin0 = [masked_attention_initial_state(2, MAXLEN, HID, jnp.float32) for _ in range(NBLOCK)]
-        ring0 = [ring_initial_state(2, MAXLEN, HID, jnp.float32) for _ in range(NBLOCK)]
+        ring0 = [ring_initial_state(2, MAXLEN, HID, jnp.float32, HEADS) for _ in range(NBLOCK)]
         _, lin_state = _run(step, params, xs, firsts, lin0)
         _, ring_state = _run(step, params, xs, firsts, ring0)
         converted = [ring_state_to_linear(s) for s in ring_state]

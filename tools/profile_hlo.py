@@ -150,7 +150,10 @@ def make_rollout_step(width: int, streams: int, compute_dtype: str,
     state0 = policy_initial_state(cfg, streams, ring=True)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, first, state0)
 
-    @jax.jit
+    from functools import partial
+
+    # donate the state like the serving/bench paths do (agent/agent.py:231)
+    @partial(jax.jit, donate_argnums=(3,))
     def fn(variables, img, first, state, key):
         out, state = model.apply(variables, img, first, state)
         logits = jax.tree.map(lambda x: x[:, -1], out["pi_logits"])

@@ -443,9 +443,14 @@ def policy_initial_state(cfg: PolicyConfig, batchsize: int, ring: bool = False):
         return None
     dtype = _compute_dtype(cfg)
     if cfg.recurrence_type == "transformer":
-        make = ring_initial_state if ring else masked_attention_initial_state
+        if ring:
+            return [
+                ring_initial_state(batchsize, cfg.maxlen, cfg.hidsize, dtype,
+                                   cfg.attention_heads)
+                for _ in range(cfg.n_recurrence_layers)
+            ]
         return [
-            make(batchsize, cfg.maxlen, cfg.hidsize, dtype)
+            masked_attention_initial_state(batchsize, cfg.maxlen, cfg.hidsize, dtype)
             for _ in range(cfg.n_recurrence_layers)
         ]
     return [

