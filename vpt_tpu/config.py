@@ -67,6 +67,9 @@ class PolicyConfig:
 
     # Maxpool lowering: "xla" (nn.max_pool; backward = SelectAndScatter) or
     # "shifted" (nine-slice backward, ops/pooling.py).  Values identical.
+    # A third value, "subsample", is accepted for bench/profile tooling ONLY:
+    # it replaces the pool with a strided subsample — WRONG VALUES, right
+    # shapes — to difference out the pool's in-graph cost.  Never train with it.
     # Measured on the chip (tools/profile_hlo.py, ROADMAP "BC backward"):
     # the whole CNN backward is HBM-bound and SelectAndScatter is only 7.4%
     # of device time at ~520 GB/s, so the byte-heavier shifted backward

@@ -75,6 +75,11 @@ class CnnDownStack(nn.Module):
             name="firstconv",
         )(x)
         if self.pool:
+            if self.pool_impl not in ("xla", "shifted", "subsample"):
+                raise ValueError(
+                    f"pool_impl={self.pool_impl!r}: expected 'xla', 'shifted', "
+                    "or 'subsample' (debug-only, wrong values)"
+                )
             if self.pool_impl == "shifted":
                 # Same values as nn.max_pool with a nine-slice backward in
                 # place of SelectAndScatter (ops/pooling.py).  Measured 2x

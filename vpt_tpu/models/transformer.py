@@ -293,7 +293,10 @@ def ring_initial_state(batchsize: int, maxlen: int, input_size: int, dtype,
     step, the ring moves 2·B·E.  Stored head-split (B, H, maxlen, d) so the
     slot write is contiguous along ``d`` and attention needs no per-step
     transpose (see SelfAttentionLayer.ring_step)."""
-    assert input_size % heads == 0
+    if input_size % heads != 0:
+        raise ValueError(
+            f"ring cache needs hidsize divisible by heads: {input_size} % {heads} != 0"
+        )
     d = input_size // heads
     return {
         "state_mask": initial_state_mask(batchsize, maxlen),
