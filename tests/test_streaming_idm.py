@@ -129,6 +129,20 @@ def test_streaming_is_deterministic(agent):
             np.testing.assert_array_equal(np.asarray(x[key]), np.asarray(y[key]))
 
 
+def test_max_inflight_does_not_change_labels(agent):
+    """max_inflight only bounds how many forwards are enqueued on the device
+    at once (the HBM lever that keeps the 4x wb=8 geometry on a 16G chip) —
+    labels and ordering are identical at any depth."""
+    frames = _frames(23, seed=4)
+    runs = [_run(agent, frames, window=8, stride=4, window_batch=2,
+                 max_inflight=m) for m in (1, 2, 3)]
+    for other in runs[1:]:
+        assert [i for i, _ in other] == [i for i, _ in runs[0]]
+        for (_, x), (_, y) in zip(runs[0], other):
+            for key in x:
+                np.testing.assert_array_equal(np.asarray(x[key]), np.asarray(y[key]))
+
+
 def test_predict_actions_batched_shards_over_mesh(agent):
     """Window labeling is pure data parallelism: an 8-device dp mesh must
     produce bitwise the same labels as the unsharded agent."""

@@ -38,11 +38,17 @@ from vpt_tpu.data.video import VideoReader  # noqa: E402
 
 
 def label_one(agent, video_path, out_path, window, stride, window_batch,
-              strict_resolution=True):
+              strict_resolution=True, decode_batch=64):
     """Label one video into ``out_path`` (atomic via .tmp rename); returns
-    (n_frames, seconds)."""
+    (n_frames, seconds).
+
+    Decode + resize run natively in ``decode_batch``-frame chunks (ONE C call
+    each, the loader's batched pixel path) and the labeler takes the frames
+    through ``feed_resized`` — per-frame Python/ctypes stays off the hot
+    loop."""
     labeler = StreamingIDMLabeler(agent, window=window, stride=stride,
                                   window_batch=window_batch)
+    resolution = (agent.cfg.img_shape[1], agent.cfg.img_shape[0])
     tmp_path = out_path + ".tmp"
     t0 = time.time()
     n = 0
@@ -59,11 +65,12 @@ def label_one(agent, video_path, out_path, window, stride, window_batch,
                 out.write(json.dumps({"frame": idx, "action": row}) + "\n")
 
         while True:
-            frame = cap.read()
-            if frame is None:
+            got, frames = cap.read_batch(decode_batch, resolution)
+            for j in range(got):
+                n += 1
+                emit(labeler.feed_resized(frames[j]))
+            if got < decode_batch:
                 break
-            n += 1
-            emit(labeler.feed(frame))
         emit(labeler.finish())
     os.replace(tmp_path, out_path)  # completion marker: the final name
     return n, time.time() - t0

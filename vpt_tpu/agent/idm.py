@@ -251,7 +251,8 @@ class StreamingIDMLabeler:
     """
 
     def __init__(self, agent: IDMAgent, window: int = 128,
-                 stride: Optional[int] = None, window_batch: int = 1):
+                 stride: Optional[int] = None, window_batch: int = 1,
+                 max_inflight: int = 1):
         stride = window if stride is None else stride
         assert 0 < stride <= window, (stride, window)
         assert window <= agent.cfg.timesteps, (
@@ -259,10 +260,21 @@ class StreamingIDMLabeler:
             f"timesteps={agent.cfg.timesteps}"
         )
         assert window_batch >= 1
+        assert max_inflight >= 1
         self.agent = agent
         self.window = window
         self.stride = stride
         self.window_batch = window_batch
+        # How many window-batch forwards may be ENQUEUED on the device at
+        # once.  Each enqueued execution holds its own temp/activation
+        # allocation, so this multiplies the HBM footprint: at the 4x IDM's
+        # wb=8 geometry one forward is ~8.7 GB of temps and max_inflight=2
+        # OOMs a 16 GB chip (measured round 5, ROADMAP "IDM labeling
+        # memory").  max_inflight=1 still overlaps host decode with device
+        # compute — dispatch is async and the harvest of forward N happens
+        # just before dispatching N+1 — it only serializes back-to-back
+        # dispatches, which the wb sweep shows costs ~0 fps.
+        self.max_inflight = max_inflight
         self._lo = (window - stride) // 2
         from collections import deque
 
@@ -302,12 +314,27 @@ class StreamingIDMLabeler:
         while self._pending and (flush or len(self._pending) >= self.window_batch):
             group = self._pending[: self.window_batch]
             del self._pending[: self.window_batch]
-            handle = self.agent.dispatch_actions_batched(
-                np.stack([w for _, w in group])
-            )
-            self._inflight.append((group, handle))
-            while len(self._inflight) > 1:
+            # make room BEFORE dispatching: at most ``max_inflight``
+            # executions (each with its own temp allocation) are enqueued
+            while len(self._inflight) >= self.max_inflight:
                 self._harvest_one(out)
+            stack = np.stack([w for _, w in group])
+            if len(group) < self.window_batch:
+                # pad the flush-time ragged group to the full window_batch so
+                # EVERY dispatch reuses the one compiled wb-sized executable.
+                # A ragged batch would compile a second program — and odd
+                # batch sizes hit pathological XLA:TPU tilings: at the 4x
+                # IDM's wb=8 geometry the leftover B=7 program materializes
+                # two 7 GB f32 layout copies around the firstconv GroupNorm
+                # (17.5 G > the chip's 15.75 G HBM, measured round 5) while
+                # the B=8 program runs in a fraction of that.  Padding rows'
+                # outputs are never read (_harvest_one walks ``group``).
+                pad = np.broadcast_to(
+                    stack[-1:], (self.window_batch - len(group),) + stack.shape[1:]
+                )
+                stack = np.concatenate([stack, pad], axis=0)
+            handle = self.agent.dispatch_actions_batched(stack)
+            self._inflight.append((group, handle))
         if flush:
             while self._inflight:
                 self._harvest_one(out)
@@ -316,7 +343,19 @@ class StreamingIDMLabeler:
     def feed(self, frame: np.ndarray):
         """Add one raw frame; returns labels that became final as a list of
         (global frame index, MineRL action dict), in order."""
-        self._history.append(self._resize(frame))
+        return self.feed_resized(self._resize(frame))
+
+    def feed_resized(self, frame: np.ndarray):
+        """:meth:`feed` for a frame ALREADY at the agent resolution — the
+        fast path for callers that decode+resize natively in batches
+        (``VideoReader.read_batch``), keeping per-frame Python/ctypes resize
+        off the labeling hot loop (tools/label_videos.py, bench idm-e2e)."""
+        expect = tuple(self.agent.cfg.img_shape[:2]) + (3,)
+        assert frame.shape == expect, (
+            f"feed_resized expects {expect} frames, got {frame.shape} "
+            "(use feed() for raw video frames)"
+        )
+        self._history.append(frame)
         self._n_fed += 1
         while self._n_fed - self._next_win_start >= self.window:
             # history holds exactly [._n_fed - window, ._n_fed) ⊇ this window
@@ -333,7 +372,16 @@ class StreamingIDMLabeler:
         if self._emitted < self._n_fed:
             tail = list(self._history)          # min(window, n_fed) frames
             tail_start = self._n_fed - len(tail)
-            actions = self.agent.predict_actions_batched(np.stack(tail)[None])
+            stack = np.stack(tail)[None]
+            if len(tail) == self.window and self.window_batch > 1:
+                # full-length tail: pad the batch axis so this reuses the
+                # compiled wb-sized executable instead of compiling (and
+                # possibly mis-tiling — see _label_pending) a B=1 program
+                pad = np.broadcast_to(
+                    stack, (self.window_batch - 1,) + stack.shape[1:]
+                )
+                stack = np.concatenate([stack, pad], axis=0)
+            actions = self.agent.predict_actions_batched(stack)
             out.extend(
                 (i, {k: v[0, i - tail_start] for k, v in actions.items()})
                 for i in range(self._emitted, self._n_fed)
