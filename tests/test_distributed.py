@@ -156,6 +156,13 @@ _BC_WORKER = textwrap.dedent(
         finally:
             loader.close()
         print("BC_LOSSES", pid, " ".join(f"{l:.8f}" for l in losses))
+
+        # held-out evaluation on the same mesh: evaluate() shards its loader
+        # per process (bc.py) and must produce the same global nll as the
+        # single-process run — the multi-host placement path under test
+        cross_host_barrier("bc_worker_eval")
+        ev = trainer.evaluate(%(data)r, max_batches=2)
+        print(f'BC_EVAL {pid} {ev["nll_per_frame"]:.8f} {ev["frames"]}')
     """
 )
 
@@ -583,7 +590,7 @@ def test_two_process_bc_training_matches_single_process(tmp_path):
                 [sys.executable, str(script)], env=env,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             ))
-        results = {}
+        results, evals = {}, {}
         for p in procs:
             out, err = p.communicate(timeout=280)
             assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
@@ -591,12 +598,20 @@ def test_two_process_bc_training_matches_single_process(tmp_path):
                 if line.startswith("BC_LOSSES"):
                     _, pid_s, *vals = line.split()
                     results[int(pid_s)] = [float(v) for v in vals]
-        return results
+                elif line.startswith("BC_EVAL"):
+                    _, pid_s, nll_s, frames_s = line.split()
+                    evals[int(pid_s)] = (float(nll_s), int(frames_s))
+        return results, evals
 
-    single = run_cluster(1)[0]
-    multi = run_cluster(2)
+    single, single_eval = run_cluster(1)
+    single, single_eval = single[0], single_eval[0]
+    multi, multi_eval = run_cluster(2)
     assert len(single) == 3
     # both processes observe the same global loss
     np.testing.assert_allclose(multi[0], multi[1], rtol=0, atol=1e-7)
     # and it equals the single-process run on the identical global batch
     np.testing.assert_allclose(multi[0], single, rtol=0, atol=5e-5)
+    # evaluate(): same global frame coverage and nll as single-process
+    assert multi_eval[0][1] == multi_eval[1][1] == single_eval[1] > 0
+    np.testing.assert_allclose(multi_eval[0][0], multi_eval[1][0], rtol=0, atol=1e-7)
+    np.testing.assert_allclose(multi_eval[0][0], single_eval[0], rtol=0, atol=5e-5)

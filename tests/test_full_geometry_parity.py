@@ -124,8 +124,10 @@ def test_idm_4x_bench_arch_param_count():
     assert 0.45e9 < n < 0.60e9, f"IDM_4X_KWARGS is a {n/1e9:.3f}B model, not ~0.5B"
 
 
-def test_full_geometry_policy_stepped_rollout_parity():
-    """2x fallback kwargs VERBATIM (the published checkpoint geometry):
+@pytest.mark.parametrize("width", [2, 3])
+def test_full_geometry_policy_stepped_rollout_parity(width):
+    """Fallback kwargs VERBATIM at the published checkpoint geometries — 2x
+    (the fallback default) and 3x (the BASELINE headline target width):
     multi-chunk stepped rollout with episode resets through the maxlen=128
     KV cache — logits, raw/denormalized values within TOL_FULL, and
     deterministic (argmax) action decode identical frame by frame."""
@@ -140,8 +142,8 @@ def test_full_geometry_policy_stepped_rollout_parity():
 
     from vpt_tpu.models.policy import policy_initial_state
 
-    kwargs = _full_kwargs(2)
-    assert kwargs["hidsize"] == 2048 and kwargs["attention_heads"] == 16
+    kwargs = _full_kwargs(width)
+    assert kwargs["hidsize"] == 1024 * width and kwargs["attention_heads"] == 16
     assert kwargs["attention_memory_size"] == 256 and kwargs["timesteps"] == 128
 
     model, cfg, specs = _our_policy(kwargs)
@@ -149,8 +151,8 @@ def test_full_geometry_policy_stepped_rollout_parity():
     img0 = jnp.zeros((B, T, 128, 128, 3), jnp.uint8)
     first0 = jnp.zeros((B, T), bool)
     state0 = policy_initial_state(cfg, B)
-    # eager init (jitting the 248M-param init at full width costs more in
-    # compile than the forward saves)
+    # eager init (jitting the 248M/531M-param init at full width costs more
+    # in compile than the forward saves)
     variables = model.init(jax.random.PRNGKey(0), img0, first0, state0)
 
     ref_mapper = RefMapping(n_camera_bins=11)
@@ -190,7 +192,7 @@ def test_full_geometry_policy_stepped_rollout_parity():
             d = float(np.abs(ours_v - theirs_v.reshape(ours_v.shape)).max())
             max_delta["vpred"] = max(max_delta["vpred"], d)
             assert d <= TOL_FULL, (c, d)
-    print(f"full-geometry 2x policy max-abs deltas over {CHUNKS * T} frames: {max_delta}")
+    print(f"full-geometry {width}x policy max-abs deltas over {CHUNKS * T} frames: {max_delta}")
 
 
 def test_full_geometry_idm_window_parity():

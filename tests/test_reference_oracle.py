@@ -316,6 +316,17 @@ def test_cursor_compositing_matches_reference():
     np.testing.assert_array_equal(rgb, ref_rgb)
     np.testing.assert_array_equal(alpha[..., None] / 255.0, ref_alpha)
 
+    # default_cursor() auto-discovers the published asset (reference-checkout
+    # search path, cursor.py:_search_paths) — GUI frames composited through
+    # the default path are pixel-identical to the reference pipeline with no
+    # CURSOR_FILE configuration
+    from vpt_tpu.data.cursor import default_cursor
+
+    if not os.environ.get("CURSOR_FILE"):
+        d_rgb, d_alpha = default_cursor()
+        np.testing.assert_array_equal(d_rgb, ref_rgb)
+        np.testing.assert_array_equal(d_alpha, alpha)
+
     rng = np.random.default_rng(0)
     for x, y in [(30, 20), (0, 0), (120 - 8, 60), (125, 68), (119, 71)]:
         frame = rng.integers(0, 256, (72, 128, 3), dtype=np.uint8)

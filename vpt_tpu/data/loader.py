@@ -26,10 +26,14 @@ Host parallelism: N worker processes, each owning whole trajectories (decode +
 fixups + resize in the worker), bounded queues, quit event — the same process
 architecture as the reference, with the native decoder instead of cv2.
 
-NOTE: workers use the multiprocessing *spawn* context (JAX parents are
-multi-threaded; fork would risk deadlocks), so the program that constructs a
-loader must be importable — a script with the usual ``if __name__ ==
-"__main__"`` guard, not a bare REPL/stdin session.
+NOTE: workers use the multiprocessing *forkserver* context (JAX parents are
+multi-threaded; a direct fork would risk deadlocks — workers fork from a
+clean server process instead, falling back to *spawn* where forkserver is
+unavailable).  Under the spawn fallback the program that constructs a loader
+must be importable — a script with the usual ``if __name__ == "__main__"``
+guard, not a bare REPL/stdin session.  The forkserver (and its workers')
+environment snapshots at the FIRST loader construction in a process; set
+``VPT_QUEUE_TIMEOUT`` etc. before that.
 """
 
 from __future__ import annotations
@@ -41,14 +45,25 @@ import queue as queue_mod
 import random
 import multiprocessing
 
-# spawn (not fork): parents import JAX, which is multi-threaded; forking a
-# threaded process risks deadlocks in workers
-_mp = multiprocessing.get_context("spawn")
+# NOT fork: parents import JAX, which is multi-threaded, and forking a
+# threaded process risks deadlocks in workers.  forkserver gives the same
+# safety (workers fork from a clean, thread-free server process, started
+# lazily at the first Process.start() under _start_host_workers' stripped
+# env) without spawn's per-worker interpreter+import cost (~0.3 s/worker
+# bare, ~2.0 s under a sitecustomize that bootstraps jax — serialized on
+# few-core hosts).  The preload puts this module (and numpy) in the server
+# once so each worker forks ready-to-run.
+try:
+    _mp = multiprocessing.get_context("forkserver")
+    _mp.set_forkserver_preload(["vpt_tpu.data.loader"])
+except ValueError:  # platform without forkserver
+    _mp = multiprocessing.get_context("spawn")
 Event, Process, Queue = _mp.Event, _mp.Process, _mp.Queue
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from vpt_tpu.actions.buttons import Buttons
 from vpt_tpu.actions.json_actions import json_action_to_env_action
 from vpt_tpu.actions.mapping import CameraHierarchicalMapping
 from vpt_tpu.actions.transformer import ActionTransformer
@@ -57,6 +72,32 @@ from vpt_tpu.data.cursor import default_cursor
 
 # seconds a queue get/put may wait; override for slow/contended hosts
 QUEUE_TIMEOUT = float(os.environ.get("VPT_QUEUE_TIMEOUT", 10))
+
+# Env vars that make a child interpreter bootstrap an accelerator runtime via
+# site hooks (this image's sitecustomize imports jax into EVERY python process
+# when PALLAS_AXON_POOL_IPS is set — measured 2.0 s/worker vs 0.3 s without,
+# serialized on few-core hosts).  Data workers are pure host code (numpy +
+# ffmpeg); strip the triggers so spawn gives them a plain interpreter.
+# VPT_WORKER_KEEP_ENV=1 disables the stripping.
+_WORKER_STRIP_ENV = ("PALLAS_AXON_POOL_IPS",)
+
+
+def _start_host_workers(processes) -> None:
+    """Start pure-host worker processes with accelerator bootstrap hooks
+    stripped from the environment they inherit (the forkserver — or each
+    spawn child — snapshots os.environ at ``start()``; restored immediately
+    after).  Keeping the hooks out of the forkserver also keeps it
+    thread-free, which is what makes forking workers from it safe."""
+    saved = {}
+    if not os.environ.get("VPT_WORKER_KEEP_ENV"):
+        for k in _WORKER_STRIP_ENV:
+            if k in os.environ:
+                saved[k] = os.environ.pop(k)
+    try:
+        for p in processes:
+            p.start()
+    finally:
+        os.environ.update(saved)
 
 MINEREC_ORIGINAL_HEIGHT_PX = 720  # reference: data_loader.py:21
 
@@ -388,8 +429,7 @@ class DataLoader:
             )
             for tq, q in zip(self.task_queues, self.output_queues)
         ]
-        for p in self.processes:
-            p.start()
+        _start_host_workers(self.processes)
 
     def __iter__(self):
         return self
@@ -452,6 +492,20 @@ def _robust_put(q, item, quit_event) -> bool:
                 return False
 
 
+def _factor_actions(transformer, mapper, acts) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized env→joint factoring over a whole chunk: ONE
+    env2policy + from_factored call for T steps (both are (B,)-batched
+    numpy) instead of T single-step calls with per-frame dict churn —
+    measured ~15% of sequence-worker time at chunk_len=32."""
+    T = len(acts)
+    env_batch = {"camera": np.stack([np.asarray(a["camera"]) for a in acts])}
+    for k in Buttons.ALL:
+        env_batch[k] = np.fromiter((a.get(k, 0) for a in acts), np.int64, T)
+    joint = mapper.from_factored(transformer.env2policy(env_batch))
+    return (joint["buttons"][:, 0].astype(np.int32),
+            joint["camera"][:, 0].astype(np.int32))
+
+
 def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolution):
     """Emits fixed-length windows of consecutive (non-null) steps with actions
     already factored into the joint categorical space.
@@ -469,7 +523,7 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
         if task is None:
             break
         trajectory_id, video_path, json_path, skip_chunks = task
-        frames, buttons, cameras = [], [], []
+        frames, acts = [], []
         chunk_index = skip_chunks
         try:
             for frame, action in steps_for(
@@ -480,17 +534,15 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
                 quit_event=quit_event,
                 skip_steps=skip_chunks * chunk_len,
             ):
-                factored = transformer.env2policy({k: np.asarray(v)[None] if k == "camera" else np.asarray([v]) for k, v in action.items()})
-                joint = mapper.from_factored(factored)
                 frames.append(frame)
-                buttons.append(joint["buttons"][0, 0])
-                cameras.append(joint["camera"][0, 0])
+                acts.append(action)
                 if len(frames) == chunk_len:
+                    buttons, cameras = _factor_actions(transformer, mapper, acts)
                     item = (
                         trajectory_id,
                         np.stack(frames),
-                        np.asarray(buttons, np.int32),
-                        np.asarray(cameras, np.int32),
+                        buttons,
+                        cameras,
                         # first_of_chunk: episode start, OR the first chunk a
                         # RESUMED stream emits — the consumer restarts from a
                         # fresh recurrent state either way, so the loader's
@@ -501,7 +553,7 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
                     )
                     if not _robust_put(output_queue, item, quit_event):
                         return
-                    frames, buttons, cameras = [], [], []
+                    frames, acts = [], []
                     chunk_index += 1
         except Exception as e:
             print(f"Error in trajectory {video_path}: {e!r}")
@@ -509,9 +561,10 @@ def _sequence_worker(tasks_queue, output_queue, quit_event, chunk_len, resolutio
         if frames and not quit_event.is_set():
             n = len(frames)
             pad = chunk_len - n
+            real_buttons, real_cameras = _factor_actions(transformer, mapper, acts)
+            buttons = np.pad(real_buttons, (0, pad))
+            cameras = np.pad(real_cameras, (0, pad))
             frames += [np.zeros_like(frames[0])] * pad
-            buttons += [0] * pad
-            cameras += [0] * pad
             _robust_put(
                 output_queue,
                 (
@@ -645,8 +698,7 @@ class SequenceDataLoader:
             )
             for tq, q in zip(self.task_queues, self.output_queues)
         ]
-        for p in self.processes:
-            p.start()
+        _start_host_workers(self.processes)
         self._last_episode = [None] * batch_size
         self._done = [False] * batch_size
         # per-stream consumed cursor: (trajectory position, chunks consumed)

@@ -422,14 +422,23 @@ class BCTrainer:
         if getattr(self, "_eval_step", None) is None:
             self._eval_step = self._build_eval_step()
         eval_step = self._eval_step
+        # multi-host: hp.batch_size is GLOBAL, exactly as in train() — each
+        # process loads its disjoint stream shard and contributes it via
+        # place_local_batch; nll/frames come back replicated (global sums)
+        nproc, pid = jax.process_count(), jax.process_index()
+        assert self.hp.batch_size % nproc == 0, (
+            f"global batch_size {self.hp.batch_size} must divide over {nproc} processes"
+        )
+        local_bs = self.hp.batch_size // nproc
         loader = SequenceDataLoader(
-            data_dir, batch_size=self.hp.batch_size, chunk_len=self.hp.chunk_len,
+            data_dir, batch_size=local_bs, chunk_len=self.hp.chunk_len,
             n_epochs=1, seed=self._seed,
             resolution=(self.cfg.img_shape[1], self.cfg.img_shape[0]),
+            shard_id=pid, num_shards=nproc,
             labels_dir=labels_dir,
         )
         state = self.initial_state(self.hp.batch_size)
-        last_episode = np.full(self.hp.batch_size, -1, np.int64)
+        last_episode = np.full(local_bs, -1, np.int64)
         nll_sum, frames = 0.0, 0.0
         n_batches = 0
         try:
@@ -442,9 +451,10 @@ class BCTrainer:
                     "firsts": batch["firsts"].astype(bool),
                     "mask": batch["mask"].astype(bool),
                 }
-                placed = jax.tree.map(
-                    lambda x: jax.device_put(x, seq_sharded(self.mesh)), placed
-                )
+                # addressable-shard-aware placement, same as train_step — a
+                # bare device_put fails on a multi-host mesh where some of
+                # the sharding's devices live on other hosts
+                placed = place_local_batch(placed, seq_sharded(self.mesh))
                 nll, n, state = eval_step(self.variables, placed, state)
                 nll_sum += float(nll)
                 frames += float(n)
