@@ -32,13 +32,16 @@ assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for the suite"
 # Test tiering: the multi-minute cluster/streaming/e2e/full-width tests carry
 # the ``slow`` marker so the sub-minute unit tier can gate quick iterations:
 #
-#   pytest -m "not slow" tests/      # quick tier, ~4-5 min on this host
+#   pytest -m "not slow" tests/      # quick tier (measured round 5: 5m23s, 239 tests)
 #   pytest tests/                    # everything (~25 min warm-cache)
 #
 # Central list (instead of per-file marks) so the tier assignment lives next
-# to the measured durations that justify it (round-4 run, warm compile
-# cache, 1-core host).  Whole files marked via their own ``pytestmark``
-# (test_full_geometry_parity.py) also stay slow.
+# to the measured durations that justify it (round-5 ``--durations`` run,
+# warm compile cache, 1-core host; the round-5 entries' times were measured
+# under ~1.65x contention — solo is ~0.6x the noted figure).  Whole files
+# marked via their own ``pytestmark`` (test_full_geometry_parity.py) also
+# stay slow.  Entries may name a single parametrization
+# (``::test_name[param]``) to keep the cheap params in the quick tier.
 # ---------------------------------------------------------------------------
 import pytest  # noqa: E402
 
@@ -71,12 +74,45 @@ _SLOW_TESTS = {  # individual tests >10s (measured durations in comments)
     "test_tp.py::test_tp_forward_matches_replicated",                   # 11s
     "test_bc_parity.py::test_t1_loss_equals_reference_accumulation",    # 11s
     "test_kv_cache.py::test_stepwise_equals_chunkwise",                 # 10s
+    # round-5 retier (VERDICT-r4 item 7): the quick tier had crept to ~9 min;
+    # everything >=~10s solo moves here to bring it back under ~5 min
+    "test_remat.py::test_scan_chunked_remat_forward_and_grad_match",    # 53s
+    "test_rl.py::test_collect_snapshot_reforward_consistency[1]",       # 46s ([2] stays quick, 8s)
+    "test_training.py::test_mask_excludes_padded_steps",                # 34s
+    "test_pp.py::test_pipelined_micro_geometries",                      # 32s
+    "test_resume.py::test_save_restore_continue",                       # 30s
+    "test_rl.py::test_ppg_aux_phase_schedule",                          # 27s
+    "test_ring_cache.py::test_ring_to_linear_conversion_continues_chunkwise",  # 27s
+    "test_sp.py::test_sp_training_matches_single_device",               # 27s
+    "test_rl.py::test_update_recompute_matches_collection_with_mid_window_resets",  # 26s
+    "test_rl.py::test_update_metrics_and_finiteness",                   # 24s
+    "test_rl.py::test_train_logs_eval_events",                          # 23s
+    "test_training.py::test_dp_matches_single_device",                  # 22s
+    "test_tp.py::test_tp_training_matches_single_device",               # 22s
+    "test_rl.py::test_grouped_collect_update_end_to_end",               # 20s
+    "test_training.py::test_loss_decreases_on_fixed_batch",             # 19s
+    "test_ring_cache.py::test_ring_equals_linear_over_long_run",        # 16s
+    # second batch: ~5-6s solo each, all with overlapping coverage elsewhere
+    # in the quick tier or in the slow tier
+    "test_rl.py::test_evaluate_report_and_shaped_reward",
+    "test_sp.py::test_sp_idm_labeling_matches_unsharded",
+    "test_rollout_runner.py::test_pipelined_rollout_runner",
+    "test_pp.py::test_pipelined_grads_match_sequential",
+    "test_pp.py::test_pipelined_forward_matches_sequential",
+    "test_agent.py::test_mesh_sharded_int8_serving_matches_single_device",
+    "test_training.py::test_evaluate_held_out_nll",
+    "test_torch_parity.py::test_attention_layer_parity",
+    "test_kv_cache.py::test_two_chunks_equal_one_long_history",
+    "test_streaming_idm.py::test_predict_actions_batched_shards_over_mesh",
+    "test_img_statistics.py::test_full_policy_with_stats_and_torch_roundtrip",
+    "test_idm_training.py::test_idm_train_dp_mesh_equals_single_device",
 }
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
         fname = os.path.basename(str(item.fspath))
-        key = f"{fname}::{item.name.split('[')[0]}"
-        if fname in _SLOW_FILES or key in _SLOW_TESTS:
+        base_key = f"{fname}::{item.name.split('[')[0]}"   # all parametrizations
+        param_key = f"{fname}::{item.name}"                # one parametrization
+        if fname in _SLOW_FILES or base_key in _SLOW_TESTS or param_key in _SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
