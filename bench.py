@@ -514,9 +514,22 @@ def bench_ppo_collect(n_streams: int = 64, rollout_len: int = 64, width: int = 2
     from vpt_tpu.training.rl import PPOHyperparams, PPOTrainer
 
     kwargs = dict(FOUNDATION_POLICY_KWARGS, hidsize=1024 * width, impala_width=4 * width)
-    hp = PPOHyperparams(rollout_len=rollout_len, n_collect_groups=groups)
+    # minibatch sizing: the PPO minibatch body is an un-remat'd train step,
+    # so the BC-measured fit boundary applies — minibatch frames x width
+    # <= 1024 fits a 16G chip with all activations saved (docs/ROADMAP.md
+    # "BC batch scaling").  Pick the fewest minibatches that fit.
+    nmb = 2
+    while n_streams % nmb or (n_streams // nmb) * rollout_len * width > 1024:
+        nmb += 1
+        assert nmb <= n_streams, "no minibatch split fits the chip"
+    hp = PPOHyperparams(rollout_len=rollout_len, n_collect_groups=groups,
+                        n_minibatches=nmb)
+    # The PPO update shares the chip with the collection state (frozen
+    # anchor params, 64-stream ring KV caches, the resident window) — a
+    # ~3 GB overhang the BC fit boundary doesn't carry — so from 2x up the
+    # update needs rematerialization to fit 16G alongside serving.
     trainer = PPOTrainer(kwargs, {"temperature": 2.0}, hp=hp,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype, remat=width >= 2)
     envs = [MockMinecraftEnv(seed=i) for i in range(n_streams)]
     traj, obs, firsts = trainer.collect(envs)  # compile + warm
     t0 = time.perf_counter()
@@ -786,7 +799,8 @@ def result_ppo_collect(width=2, streams=N_STREAMS, groups=4, compute_dtype="bflo
         compute_dtype=compute_dtype, measure_update=True)
     return {
         "metric": f"PPO rollout collection (mock envs), {width}x arch, "
-                  f"{streams} streams, {groups} pipelined groups, + one update",
+                  f"{streams} streams, {groups} pipelined groups, + one update "
+                  f"(all epochs, chip-fitting minibatches)",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": None,
@@ -846,22 +860,34 @@ def result_suite(ceiling, args):
 
     import jax
 
+    # this dev tunnel's remote-compile service occasionally drops a request
+    # mid-flight; those failures are transient and worth ONE retry.  An OOM
+    # (RESOURCE_EXHAUSTED) is deterministic — never retried.
+    transient = ("remote_compile", "tpu_compile_helper", "response body closed",
+                 "read body", "HTTP 500", "UNAVAILABLE", "Socket closed")
+
     def guarded(fn, *a, **kw):
-        try:
-            return fn(*a, **kw)
-        except Exception as e:
-            # ONE short line: an XLA RESOURCE_EXHAUSTED carries a multi-KB
-            # buffer-assignment dump that would corrupt the one-line suite
-            # JSON (this exact failure blanked BENCH_r04)
-            msg = f"{type(e).__name__}: {e}".splitlines()[0][:300]
-            return {"error": msg}
-        finally:
-            # leg isolation: drop this leg's compiled executables and their
-            # device buffers so one leg's HBM footprint cannot OOM the next —
-            # every leg builds its own jits, so nothing useful is lost
-            gc.collect()
-            jax.clear_caches()
-            gc.collect()
+        for attempt in (0, 1):
+            try:
+                return fn(*a, **kw)
+            except Exception as e:
+                full = str(e)
+                if (attempt == 0 and "RESOURCE_EXHAUSTED" not in full
+                        and any(s in full for s in transient)):
+                    continue  # finally clears caches; rerun the leg once
+                # ONE short line: an XLA RESOURCE_EXHAUSTED carries a multi-KB
+                # buffer-assignment dump that would corrupt the one-line suite
+                # JSON (this exact failure blanked BENCH_r04)
+                msg = f"{type(e).__name__}: {e}".splitlines()[0][:300]
+                return {"error": msg}
+            finally:
+                # leg isolation: drop this leg's compiled executables and
+                # their device buffers so one leg's HBM footprint cannot OOM
+                # the next — every leg builds its own jits, so nothing useful
+                # is lost
+                gc.collect()
+                jax.clear_caches()
+                gc.collect()
 
     def row_fps(row):
         """A device-resident leg's measured fps, for the e2e rows' device_fps

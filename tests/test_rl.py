@@ -184,6 +184,30 @@ def test_ppo_learns_synthetic_reward():
     assert p_after > p_before + 0.02, (p_before, p_after)
 
 
+def test_chunked_anchor_forward_matches_one_shot():
+    """The stream-axis-chunked anchor forward (anchor_fwd_max_frames) is
+    numerically identical to the one-shot (B, T) pass — streams are
+    independent given their initial state, so chunking only bounds the
+    compiled program's size."""
+    trainer = _make_trainer(b=4, rollout_len=8)
+    envs = _envs(4, done_prob=0.2)
+    traj, _, _ = trainer.collect(envs)
+    frames = jax.numpy.asarray(traj["frames"])
+    firsts = jax.numpy.asarray(traj["firsts"])
+    state = traj["initial_state"]
+
+    trainer.hp.anchor_fwd_max_frames = 0          # force one-shot
+    one_shot = trainer._anchor_logits(frames, firsts, state)
+    trainer.hp.anchor_fwd_max_frames = 8          # 1 stream x 8 steps per chunk
+    chunked = trainer._anchor_logits(frames, firsts, state)
+
+    for key in one_shot:
+        # identical math; tolerance only for batch-size-dependent fusion
+        np.testing.assert_allclose(np.asarray(one_shot[key]),
+                                   np.asarray(chunked[key]),
+                                   rtol=1e-6, atol=1e-6, err_msg=key)
+
+
 def test_kl_anchor_restrains_drift():
     """With a large KL coefficient the policy stays glued to the anchor even
     under the same reward pressure that moves the unanchored policy."""

@@ -107,6 +107,15 @@ class PPOHyperparams:
     aux_phase_every: int = 0
     aux_epochs: int = 4
     beta_clone: float = 1.0
+    # The anchor forward is the one graph in the update that sees the FULL
+    # (B, T) window at once; at production geometries (64 streams x 64
+    # steps, 2x width = 4096 frames) that single XLA program exceeds the
+    # compiler's memory on constrained toolchains (observed: remote
+    # tpu_compile_helper crash) and holds the whole window's activations
+    # alive.  Batches over this many frames run the anchor forward in
+    # stream-axis chunks — identical math (streams are independent given
+    # their initial state), bounded compile + HBM.  0 disables chunking.
+    anchor_fwd_max_frames: int = 1024
 
 
 def compute_gae(rewards, values, firsts, last_value, last_first,
@@ -617,6 +626,32 @@ class PPOTrainer:
 
     # ---------------------------------------------------------------- update
 
+    def _anchor_logits(self, frames_d, firsts_d, state):
+        """Anchor-policy (π₀) logits for the whole collected window.
+
+        Windows over ``hp.anchor_fwd_max_frames`` run in stream-axis chunks
+        through the SAME jitted forward (one compile at the chunk shape,
+        reused): each stream's rows and initial state slice independently,
+        so chunking changes nothing but the compiled program's size.
+        Multi-host runs keep the one-shot path — the global arrays there
+        are not addressable for host-side stream slicing."""
+        stats = self.variables["stats"]
+        b, t = frames_d.shape[:2]
+        max_frames = self.hp.anchor_fwd_max_frames
+        if jax.process_count() > 1 or max_frames <= 0 or b * t <= max_frames:
+            return self._anchor_forward(self.anchor_params, stats,
+                                        frames_d, firsts_d, state)
+        rows = max(1, max_frames // t)
+        while b % rows:                 # largest divisor of b that fits
+            rows -= 1
+        outs = []
+        for i in range(0, b, rows):
+            sl = slice(i, i + rows)
+            st = jax.tree.map(lambda x: x[sl], state)
+            outs.append(self._anchor_forward(
+                self.anchor_params, stats, frames_d[sl], firsts_d[sl], st))
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
     def _build_anchor_forward(self):
         policy = self.policy
 
@@ -861,9 +896,7 @@ class PPOTrainer:
         frames_d = place_local_batch(traj["frames"], data_sh)
         firsts_d = place_local_batch(traj["firsts"], data_sh)
         initial_state = traj["initial_state"]
-        anchor_logits = self._anchor_forward(
-            self.anchor_params, self.variables["stats"], frames_d, firsts_d, initial_state
-        )
+        anchor_logits = self._anchor_logits(frames_d, firsts_d, initial_state)
 
         batch = {
             "frames": frames_d,
