@@ -1,7 +1,8 @@
-"""Torch baseline for bench.py: the same policy architecture in the
-reference's framework (PyTorch), measured on this host's CPU (the image has no
-CUDA).  Written compactly and independently — it exists only to give
-``vs_baseline`` an honest denominator on available hardware.
+"""SUPERSEDED torch baseline (rounds 1-3): the same policy architecture
+re-implemented compactly in the reference's framework (PyTorch), measured on
+this host's CPU.  ``bench.py``'s ``vs_baseline`` now comes from
+``bench_torch_reference.py``, which imports and drives the reference code
+itself; this module is kept as the independent cross-check of those numbers.
 
 Architecture mirrored (2x foundation fallback kwargs, agent.py:16-36):
 128×128×3 uint8 → /255 → Impala CNN (width 8: chans 128/256/256, 2 residual
