@@ -514,22 +514,30 @@ def bench_ppo_collect(n_streams: int = 64, rollout_len: int = 64, width: int = 2
     from vpt_tpu.training.rl import PPOHyperparams, PPOTrainer
 
     kwargs = dict(FOUNDATION_POLICY_KWARGS, hidsize=1024 * width, impala_width=4 * width)
-    # minibatch sizing: the PPO minibatch body is an un-remat'd train step,
-    # so the BC-measured fit boundary applies — minibatch frames x width
-    # <= 1024 fits a 16G chip with all activations saved (docs/ROADMAP.md
-    # "BC batch scaling").  Pick the fewest minibatches that fit.
+    # minibatch sizing: the PPO minibatch body is a train step that shares
+    # the chip with the collection state (frozen anchor params, the stream
+    # ring KV caches, the resident window) — a width-scaled overhang the
+    # BC-measured fit boundary (minibatch frames x width <= 1024 with all
+    # activations saved, docs/ROADMAP.md "BC batch scaling") doesn't carry.
+    # Measured at 2x, 64 streams x 64 steps (docs/ROADMAP.md "PPO update
+    # geometry"): halving the boundary to <= 512 fits UN-remat'd and is the
+    # fastest update — nmb=16 at 12.4 s vs 14.8 s for the remat'd nmb=8
+    # (+20%); nmb=8 un-remat'd OOMs, nmb=32 doubles per-step overhead
+    # (24.5 s).  1x fits un-remat'd at the full <= 1024 boundary; 3x keeps
+    # the remat'd <= 1024 path (un-remat'd fits unmeasured at that width's
+    # larger overhang).  Pick the fewest minibatches that fit.
+    if width >= 3:
+        fit, remat = 1024, True
+    else:
+        fit, remat = (1024 if width == 1 else 512), False
     nmb = 2
-    while n_streams % nmb or (n_streams // nmb) * rollout_len * width > 1024:
+    while n_streams % nmb or (n_streams // nmb) * rollout_len * width > fit:
         nmb += 1
         assert nmb <= n_streams, "no minibatch split fits the chip"
     hp = PPOHyperparams(rollout_len=rollout_len, n_collect_groups=groups,
                         n_minibatches=nmb)
-    # The PPO update shares the chip with the collection state (frozen
-    # anchor params, 64-stream ring KV caches, the resident window) — a
-    # ~3 GB overhang the BC fit boundary doesn't carry — so from 2x up the
-    # update needs rematerialization to fit 16G alongside serving.
     trainer = PPOTrainer(kwargs, {"temperature": 2.0}, hp=hp,
-                         compute_dtype=compute_dtype, remat=width >= 2)
+                         compute_dtype=compute_dtype, remat=remat)
     envs = [MockMinecraftEnv(seed=i) for i in range(n_streams)]
     traj, obs, firsts = trainer.collect(envs)  # compile + warm
     t0 = time.perf_counter()
